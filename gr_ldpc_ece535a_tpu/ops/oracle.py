@@ -1,0 +1,192 @@
+"""Float64 per-frame oracle decoders: the behavioral spec of the reference.
+
+These replicate the reference C++ math *exactly* — same message schedule, same
+floating-point accumulation order, same tie behavior, same early-exit
+placement — so the batched JAX kernels can be validated for bit-exact hard
+decisions against them:
+
+- ``decode_log_domain_simple``: min-sum, /root/reference/lib/ldpc_decoder_cb_impl.cc:309-412
+- ``decode_bit_flipping``:      Gallager-style majority flip, :414-476
+- ``decode_sum_product_soft``:  tanh-rule SPA with the nonstandard per-check
+                                +r(i) term, :478-557
+- ``decode_hard``:              slicer, :559-572
+- ``check_frame``:              syndrome weight with early abort, :236-253
+
+Implementation note: the C++ scans every dense H entry and skips zeros
+(`if (H(i,k) != 0)`), so iterating precomputed neighbor lists in ascending
+index order performs the *identical* arithmetic sequence; that is the only
+optimization applied here. Do not vectorize the reductions — their sequential
+order is the point.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "check_frame",
+    "decode_hard",
+    "decode_bit_flipping",
+    "decode_log_domain_simple",
+    "decode_sum_product_soft",
+    "decode_bpsk",
+]
+
+_ADJ_CACHE: dict[int, tuple] = {}
+
+
+def _adjacency(H: np.ndarray):
+    key = id(H)
+    hit = _ADJ_CACHE.get(key)
+    if hit is not None and hit[0] is H:
+        return hit[1], hit[2]
+    rows = [np.nonzero(H[i])[0].tolist() for i in range(H.shape[0])]
+    cols = [np.nonzero(H[:, j])[0].tolist() for j in range(H.shape[1])]
+    _ADJ_CACHE[key] = (H, rows, cols)
+    return rows, cols
+
+
+def check_frame(u: np.ndarray, H: np.ndarray, threshold: int) -> int:
+    """Count nonzero syndrome entries, aborting once the count exceeds threshold."""
+    rows, _ = _adjacency(H)
+    s_not_zero = 0
+    for nbrs in rows:
+        s = 0
+        for j in nbrs:
+            s += int(u[j])
+        if s % 2 != 0:
+            s_not_zero += 1
+        if s_not_zero > threshold:
+            break
+    return s_not_zero
+
+
+def _sign(v: float) -> int:
+    return (v > 0) - (v < 0)
+
+
+def decode_hard(rx: np.ndarray) -> np.ndarray:
+    """Pure slicer: rx < 0 -> 0 else 1."""
+    return (~(rx < 0)).astype(np.int8)
+
+
+def decode_bpsk(rx: np.ndarray) -> np.ndarray:
+    """Simulator slicer 0.5*(sign(rx)+1); sign(0)=0 truncates to 0 like the C++."""
+    out = np.empty(rx.shape[0], dtype=np.int8)
+    for i in range(rx.shape[0]):
+        out[i] = int(0.5 * (_sign(rx[i]) + 1))
+    return out
+
+
+def decode_log_domain_simple(rx: np.ndarray, H: np.ndarray, iterations: int) -> np.ndarray:
+    """Min-sum decode of one frame; exact loop-order replica."""
+    M, N = H.shape
+    rows, cols = _adjacency(H)
+    Lci = [-float(v) for v in rx]
+    Lq = {}
+    Lr = {}
+    for i in range(M):
+        for j in rows[i]:
+            Lq[(i, j)] = Lci[j]
+            Lr[(i, j)] = 0.0
+    vhat = np.zeros(N, dtype=np.int8)
+
+    dbl_max = np.finfo(np.float64).max
+    for n in range(iterations):
+        alpha = {e: _sign(v) for e, v in Lq.items()}
+        beta = {e: abs(v) for e, v in Lq.items()}
+
+        # Horizontal (check) step: min-sum
+        for i in range(M):
+            prod_alpha = 1
+            for j in rows[i]:
+                prod_alpha *= alpha[(i, j)]
+            for j in rows[i]:
+                min_beta = dbl_max
+                for k in rows[i]:
+                    if k != j and beta[(i, k)] < min_beta:
+                        min_beta = beta[(i, k)]
+                Lr[(i, j)] = prod_alpha * alpha[(i, j)] * min_beta
+
+        # Vertical (variable) step
+        for j in range(N):
+            sum_lr = 0.0
+            for i in cols[j]:
+                sum_lr += Lr[(i, j)]
+            for i in cols[j]:
+                Lq[(i, j)] = Lci[j] + sum_lr - Lr[(i, j)]
+            lqi = Lci[j] + sum_lr
+            vhat[j] = 1 if lqi < 0 else 0
+
+        if n + 1 < iterations and check_frame(vhat, H, 0) == 0:
+            break
+    return vhat
+
+
+def decode_bit_flipping(rx: np.ndarray, H: np.ndarray, iterations: int) -> np.ndarray:
+    """Majority bit-flip decode; note flips assign NOT(y), never reverting."""
+    M, N = H.shape
+    rows, cols = _adjacency(H)
+    y = [0 if v < 0.0 else 1 for v in rx]
+    ci = list(y)
+
+    for n in range(iterations):
+        E = {}
+        for i in range(M):
+            s_row = sum(ci[k] for k in rows[i])
+            for j in rows[i]:
+                E[(i, j)] = (s_row - ci[j]) % 2
+        for j in range(N):
+            disagreements = 0
+            for i in cols[j]:
+                if E[(i, j)] != y[j]:
+                    disagreements += 1
+            if disagreements > M // 2:
+                ci[j] = (y[j] + 1) % 2
+        if n + 1 < iterations and check_frame(np.asarray(ci, np.int8), H, 0) == 0:
+            break
+    return np.asarray(ci, dtype=np.int8)
+
+
+def decode_sum_product_soft(rx: np.ndarray, H: np.ndarray, iterations: int) -> np.ndarray:
+    """Tanh-rule SPA; syndrome checked EVERY iteration, +r(i) per connected check."""
+    m, n = H.shape
+    rows, cols = _adjacency(H)
+    r = [-float(v) for v in rx]
+    Mmsg = {}
+    for j in range(m):
+        for i in rows[j]:
+            Mmsg[(j, i)] = r[i]
+    vhat = np.zeros(n, dtype=np.int8)
+    E = {}
+
+    for _h in range(iterations):
+        # Step 1: check messages (naive product over k != i, ascending k)
+        for j in range(m):
+            th = {k: math.tanh(Mmsg[(j, k)] / 2.0) for k in rows[j]}
+            for i in rows[j]:
+                T = 1.0
+                for k in rows[j]:
+                    if k != i:
+                        T *= th[k]
+                E[(j, i)] = math.log((1.0 + T) / (1.0 - T))
+        # Tentative decision (r(i) added once per connected check — nonstandard,
+        # reproduced faithfully; see lib/ldpc_decoder_cb_impl.cc:523)
+        for i in range(n):
+            L = 0.0
+            for j in cols[i]:
+                L += E[(j, i)] + r[i]
+            vhat[i] = 1 if L <= 0 else 0
+        if check_frame(vhat, H, 0) == 0:
+            break
+        # Step 2: bit messages (naive sum over k != j, ascending k)
+        for j in range(m):
+            for i in rows[j]:
+                T = 0.0
+                for k in cols[i]:
+                    if k != j:
+                        T += E[(k, i)] + r[i]
+                Mmsg[(j, i)] = T
+    return vhat

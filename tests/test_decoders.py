@@ -1,0 +1,140 @@
+"""Batched JAX decoders vs the float64 sequential oracle.
+
+The acceptance criterion is *bit-exact hard decisions* at the same iteration
+count (BASELINE.md): for every random frame, the jnp decoder's vhat must equal
+the oracle's vhat. The oracle replicates the C++ loop order exactly
+(ops/oracle.py), so agreement here transfers to agreement with the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr_ldpc_ece535a_tpu.codes import get_code
+from gr_ldpc_ece535a_tpu.ops import (
+    awgn,
+    bpsk_map,
+    decode_bitflip,
+    decode_hard,
+    decode_minsum,
+    decode_sumproduct,
+    encode_bits,
+    make_decoder,
+    syndrome_weight,
+)
+from gr_ldpc_ece535a_tpu.ops import oracle
+
+CODES = ["block_32_64", "sim_8_16", "sim_50_100", "sim_24_48"]
+
+
+def _random_rx(code, batch, seed, ebn0_db=3.0):
+    """Encode random data and pass through AWGN; returns (rx, u) numpy f64."""
+    rng = np.random.default_rng(seed)
+    d = rng.integers(0, 2, size=(batch, code.K), dtype=np.int8)
+    c = ((d @ code.P.T.astype(np.int64)) % 2).astype(np.int8)
+    u = np.concatenate([c, d], axis=1)
+    tx = 2.0 * u - 1.0
+    n0 = 10 ** (-ebn0_db / 10)
+    rx = tx + np.sqrt(n0) * rng.standard_normal(tx.shape)
+    return rx, u
+
+
+@pytest.mark.parametrize("name", CODES)
+def test_minsum_matches_oracle(name):
+    code = get_code(name)
+    rx, _ = _random_rx(code, 64, seed=0, ebn0_db=2.0)
+    got = np.asarray(decode_minsum(jnp.asarray(rx), code, iterations=5, dtype=jnp.float64))
+    for b in range(rx.shape[0]):
+        want = oracle.decode_log_domain_simple(rx[b], code.H, 5)
+        assert np.array_equal(got[b], want), f"frame {b} mismatch"
+
+
+@pytest.mark.parametrize("name", CODES)
+def test_sumproduct_matches_oracle(name):
+    code = get_code(name)
+    rx, _ = _random_rx(code, 64, seed=1, ebn0_db=2.0)
+    got = np.asarray(decode_sumproduct(jnp.asarray(rx), code, iterations=5, dtype=jnp.float64))
+    for b in range(rx.shape[0]):
+        want = oracle.decode_sum_product_soft(rx[b], code.H, 5)
+        assert np.array_equal(got[b], want), f"frame {b} mismatch"
+
+
+@pytest.mark.parametrize("name", CODES)
+def test_bitflip_matches_oracle(name):
+    code = get_code(name)
+    rx, _ = _random_rx(code, 64, seed=2, ebn0_db=0.0)
+    got = np.asarray(decode_bitflip(jnp.asarray(rx), code, iterations=5))
+    for b in range(rx.shape[0]):
+        want = oracle.decode_bit_flipping(rx[b], code.H, 5)
+        assert np.array_equal(got[b], want), f"frame {b} mismatch"
+
+
+def test_hard_matches_oracle():
+    code = get_code("block_32_64")
+    rx, _ = _random_rx(code, 32, seed=3, ebn0_db=-2.0)
+    got = np.asarray(decode_hard(jnp.asarray(rx)))
+    for b in range(rx.shape[0]):
+        assert np.array_equal(got[b], oracle.decode_hard(rx[b]))
+
+
+def test_noiseless_roundtrip_all_methods():
+    """At zero noise every iterative decoder returns the codeword exactly."""
+    code = get_code("block_32_64")
+    rng = np.random.default_rng(9)
+    d = rng.integers(0, 2, size=(128, code.K), dtype=np.int8)
+    u = np.asarray(encode_bits(jnp.asarray(d), code))
+    tx = jnp.asarray(2.0 * u - 1.0)
+    for method in range(4):
+        dec = make_decoder(code, method=method, iterations=5)
+        vhat = np.asarray(dec(tx))
+        assert np.array_equal(vhat, u), f"method {method}"
+        # data bits live in the second half of the codeword
+        assert np.array_equal(vhat[:, code.M :], d)
+
+
+def test_early_exit_equals_reference_semantics():
+    """early_exit=True must give identical vhat to the oracle even when some
+    frames converge at different iterations (the batched freeze must not leak
+    between frames)."""
+    code = get_code("block_32_64")
+    rx, _ = _random_rx(code, 256, seed=4, ebn0_db=4.0)
+    got = np.asarray(decode_minsum(jnp.asarray(rx), code, iterations=5, dtype=jnp.float64))
+    mism = 0
+    for b in range(rx.shape[0]):
+        want = oracle.decode_log_domain_simple(rx[b], code.H, 5)
+        mism += int(not np.array_equal(got[b], want))
+    assert mism == 0
+
+
+def test_f32_vs_f64_hard_decision_agreement():
+    """The f32 TPU path must agree with f64 on hard decisions at operating SNR."""
+    code = get_code("block_32_64")
+    rx, _ = _random_rx(code, 2048, seed=5, ebn0_db=3.0)
+    for fn in (decode_minsum, decode_sumproduct):
+        v32 = np.asarray(fn(jnp.asarray(rx, jnp.float32), code, iterations=5, dtype=jnp.float32))
+        v64 = np.asarray(fn(jnp.asarray(rx), code, iterations=5, dtype=jnp.float64))
+        frames_diff = int((v32 != v64).any(axis=1).sum())
+        assert frames_diff == 0, f"{fn.__name__}: {frames_diff}/2048 frames differ"
+
+
+def test_syndrome_weight():
+    code = get_code("block_32_64")
+    rng = np.random.default_rng(6)
+    d = rng.integers(0, 2, size=(16, code.K), dtype=np.int8)
+    u = np.asarray(encode_bits(jnp.asarray(d), code))
+    w = np.asarray(syndrome_weight(jnp.asarray(u), code.H))
+    assert (w == 0).all()
+    # flipping one bit makes the syndrome nonzero (weight = column weight)
+    u2 = u.copy()
+    u2[:, 0] ^= 1
+    w2 = np.asarray(syndrome_weight(jnp.asarray(u2), code.H))
+    assert (w2 == code.H[:, 0].sum()).all()
+
+
+def test_fixed_iteration_variant_runs():
+    code = get_code("block_32_64")
+    rx, _ = _random_rx(code, 32, seed=7)
+    for fn in (decode_minsum, decode_sumproduct, decode_bitflip):
+        v = fn(jnp.asarray(rx, jnp.float32), code, iterations=20, early_exit=False)
+        assert v.shape == rx.shape
