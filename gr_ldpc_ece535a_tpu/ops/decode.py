@@ -71,27 +71,42 @@ def decode_hard(rx: jax.Array) -> jax.Array:
 # layout helpers (all index arrays are compile-time constants)
 # ---------------------------------------------------------------------------
 
-def _gather_vm(x_cm_flat: jax.Array, lay: EdgeLayout) -> jax.Array:
-    """Flat check-major edge array (B, M*Wr+1) -> var-major (B, N, Wc)."""
-    idx = jnp.asarray(lay.vm_from_cm.reshape(-1))
-    out = jnp.take(x_cm_flat, idx, axis=1)
-    return out.reshape(x_cm_flat.shape[0], lay.N, lay.Wc)
+def _permute(x: jax.Array, T: np.ndarray, out_rows: int, out_cols: int) -> jax.Array:
+    """Edge-layout permutation as a one-hot matmul (exact: one 1 per column).
 
-
-def _gather_cm(x_vm_flat: jax.Array, lay: EdgeLayout) -> jax.Array:
-    """Flat var-major edge array (B, N*Wc+1) -> check-major (B, M, Wr)."""
-    idx = jnp.asarray(lay.cm_from_vm.reshape(-1))
-    out = jnp.take(x_vm_flat, idx, axis=1)
-    return out.reshape(x_vm_flat.shape[0], lay.M, lay.Wr)
-
-
-def _pad_flat(x: jax.Array, pad_value=0) -> jax.Array:
-    """Flatten trailing edge dims and append the dummy pad slot."""
+    x: (B, R, C) masked edge values (masked slots MUST be zeroed by the
+    caller so 0*inf can't appear); T: (R*C, out_rows*out_cols) 0/1 float.
+    Runs on the MXU; avoids XLA gather (slow on TPU and crashes this libtpu
+    compiler when gathers chain across iterations).
+    """
     B = x.shape[0]
-    n = int(np.prod(x.shape[1:]))  # explicit size: reshape(B, -1) breaks for B=0
-    flat = x.reshape(B, n)
-    pad = jnp.full((B, 1), pad_value, dtype=x.dtype)
-    return jnp.concatenate([flat, pad], axis=1)
+    n = int(np.prod(x.shape[1:]))
+    Tm = jnp.asarray(T, dtype=x.dtype)
+    # HIGHEST precision: the TPU MXU's default bf16 pass would round the
+    # selected values; f32-exact passes keep the permutation bit-exact.
+    out = jnp.dot(x.reshape(B, n), Tm, preferred_element_type=x.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(B, out_rows, out_cols)
+
+
+def _gather_vm(x_cm: jax.Array, lay: EdgeLayout) -> jax.Array:
+    """Check-major edges (B, M, Wr) -> var-major (B, N, Wc)."""
+    return _permute(x_cm, lay.T_vm, lay.N, lay.Wc)
+
+
+def _gather_cm(x_vm: jax.Array, lay: EdgeLayout) -> jax.Array:
+    """Var-major edges (B, N, Wc) -> check-major (B, M, Wr)."""
+    return _permute(x_vm, lay.T_cm, lay.M, lay.Wr)
+
+
+def _bcast_cm(x_var: jax.Array, lay: EdgeLayout) -> jax.Array:
+    """Per-variable values (B, N) -> check-major edges (B, M, Wr)."""
+    return _permute(x_var[:, :, None], lay.B_cm.reshape(lay.N, -1), lay.M, lay.Wr)
+
+
+def _bcast_vm(x_chk: jax.Array, lay: EdgeLayout) -> jax.Array:
+    """Per-check values (B, M) -> var-major edges (B, N, Wc)."""
+    return _permute(x_chk[:, :, None], lay.B_vm.reshape(lay.M, -1), lay.N, lay.Wc)
 
 
 def _excl_sum(t: jax.Array) -> jax.Array:
@@ -136,12 +151,10 @@ def decode_minsum(
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)  # DBL_MAX analog
     cmask = jnp.asarray(lay.chk_mask)
     vmask = jnp.asarray(lay.var_mask)
-    chk_nbrs_f = jnp.asarray(lay.chk_nbrs.reshape(-1))  # (M*Wr,), sentinel N
 
     Lci = -_f(rx, dtype)  # (B, N)
     # init Lq in check-major: Lq(m, w) = Lci[chk_nbrs[m, w]]
-    Lci_pad = jnp.concatenate([Lci, jnp.zeros((B, 1), dtype)], axis=1)
-    Lq = jnp.take(Lci_pad, chk_nbrs_f, axis=1).reshape(B, lay.M, lay.Wr)
+    Lq = _bcast_cm(Lci, lay)
 
     vhat0 = jnp.zeros((B, lay.N), jnp.int8)
     done0 = jnp.zeros((B,), bool)
@@ -161,12 +174,12 @@ def decode_minsum(
         min_excl = jnp.where(is_arg, min2, min1)
         Lr = prod_alpha * alpha * min_excl  # check-major (B, M, Wr)
         # variable step
-        Lr_vm = _gather_vm(_pad_flat(jnp.where(cmask, Lr, 0)), lay)  # (B, N, Wc)
+        Lr_vm = _gather_vm(jnp.where(cmask, Lr, 0), lay)  # (B, N, Wc)
         sum_lr = jnp.sum(jnp.where(vmask, Lr_vm, 0), axis=-1)  # (B, N)
         LQ = Lci + sum_lr
         vhat = (LQ < 0).astype(jnp.int8)
         Lq_vm = Lci[:, :, None] + sum_lr[:, :, None] - Lr_vm  # ref: Lci + sum - Lrji
-        Lq_new = _gather_cm(_pad_flat(jnp.where(vmask, Lq_vm, 0)), lay)
+        Lq_new = _gather_cm(jnp.where(vmask, Lq_vm, 0), lay)
         return Lq_new, vhat
 
     if not early_exit:
@@ -205,11 +218,9 @@ def decode_sumproduct(
     B = rx.shape[0]
     cmask = jnp.asarray(lay.chk_mask)
     vmask = jnp.asarray(lay.var_mask)
-    chk_nbrs_f = jnp.asarray(lay.chk_nbrs.reshape(-1))
 
     r = -_f(rx, dtype)  # (B, N)
-    r_pad = jnp.concatenate([r, jnp.zeros((B, 1), dtype)], axis=1)
-    Mmsg = jnp.take(r_pad, chk_nbrs_f, axis=1).reshape(B, lay.M, lay.Wr)
+    Mmsg = _bcast_cm(r, lay)
 
     vhat0 = jnp.zeros((B, lay.N), jnp.int8)
     done0 = jnp.zeros((B,), bool)
@@ -220,7 +231,7 @@ def decode_sumproduct(
         T = _excl_prod(t)  # product over row excluding self
         E = jnp.log((1 + T) / (1 - T))  # check-major (B, M, Wr)
         # test: L_i = sum over connected checks of (E + r_i)
-        E_vm = _gather_vm(_pad_flat(jnp.where(cmask, E, 0)), lay)  # (B, N, Wc)
+        E_vm = _gather_vm(jnp.where(cmask, E, 0), lay)  # (B, N, Wc)
         terms = jnp.where(vmask, E_vm + r[:, :, None], 0)
         L = jnp.sum(terms, axis=-1)
         vhat = (L <= 0).astype(jnp.int8)
@@ -229,7 +240,7 @@ def decode_sumproduct(
     def bit_step(terms):
         """Bit messages: M(j, i) = sum over other checks of (E + r_i)."""
         M_vm = _excl_sum(terms)  # (B, N, Wc); pads contribute 0
-        return _gather_cm(_pad_flat(jnp.where(vmask, M_vm, 0)), lay)
+        return _gather_cm(jnp.where(vmask, M_vm, 0), lay)
 
     if not early_exit:
         def body(_n, carry):
@@ -269,7 +280,6 @@ def decode_bitflip(
     lay = edge_layout(code)
     B = rx.shape[0]
     vmask = jnp.asarray(lay.var_mask)
-    var_nbrs = jnp.asarray(lay.var_nbrs)  # (N, Wc), sentinel M
     Hf = jnp.asarray(code.H.astype(np.float32))
     flip_threshold = code.M // 2
 
@@ -283,8 +293,8 @@ def decode_bitflip(
         # counts <= Wr << 2^24)
         S = jnp.dot(ci.astype(jnp.float32), Hf.T, preferred_element_type=jnp.float32)
         p = jnp.mod(S.astype(jnp.int32), 2)  # (B, M) row parity
-        p_pad = jnp.concatenate([p, jnp.zeros((B, 1), jnp.int32)], axis=1)
-        p_vm = jnp.take(p_pad, var_nbrs.reshape(-1), axis=1).reshape(B, lay.N, lay.Wc)
+        # 0/1 values broadcast to edges via exact f32 one-hot matmul
+        p_vm = _bcast_vm(p.astype(jnp.float32), lay).astype(jnp.int32)
         # E(m, j) = (S_m - ci_j) mod 2 = p_m XOR ci_j on edges
         E = p_vm ^ ci[:, :, None]
         disagree = jnp.sum(jnp.where(vmask, (E != y[:, :, None]).astype(jnp.int32), 0), axis=-1)

@@ -39,6 +39,15 @@ class EdgeLayout:
     # flat cross-layout gathers (dummy pad slot at the end of each flat array)
     cm_from_vm: np.ndarray    # (M, Wr) int32 -> index into flat var-major (N*Wc+1)
     vm_from_cm: np.ndarray    # (N, Wc) int32 -> index into flat check-major (M*Wr+1)
+    # one-hot permutation/broadcast matrices (float32 0/1). On TPU the edge
+    # permutations run as tiny MXU matmuls instead of gathers: selecting one
+    # element per row is exact in floating point, and XLA's gather lowering
+    # both is slower on TPU and (with this libtpu) crashes the compiler when
+    # gathers chain across BP iterations.
+    T_vm: np.ndarray          # (M*Wr, N*Wc): flat check-major -> flat var-major
+    T_cm: np.ndarray          # (N*Wc, M*Wr): flat var-major -> flat check-major
+    B_cm: np.ndarray          # (N, M*Wr): per-variable value -> check-major edges
+    B_vm: np.ndarray          # (M, N*Wc): per-check value -> var-major edges
 
     @property
     def cm_pad(self) -> int:
@@ -85,9 +94,33 @@ def edge_layout(code: LdpcCode) -> EdgeLayout:
                 j = int(chk[m, w])
                 cm_from_vm[m, w] = j * Wc + vm_slot[(j, m)]
 
+    T_vm = np.zeros((M * Wr, N * Wc), dtype=np.float32)
+    for j in range(N):
+        for v in range(Wc):
+            src = vm_from_cm[j, v]
+            if src < M * Wr:
+                T_vm[src, j * Wc + v] = 1.0
+    T_cm = np.zeros((N * Wc, M * Wr), dtype=np.float32)
+    for m in range(M):
+        for w in range(Wr):
+            src = cm_from_vm[m, w]
+            if src < N * Wc:
+                T_cm[src, m * Wr + w] = 1.0
+    B_cm = np.zeros((N, M * Wr), dtype=np.float32)
+    for m in range(M):
+        for w in range(Wr):
+            if chk_mask[m, w]:
+                B_cm[int(chk[m, w]), m * Wr + w] = 1.0
+    B_vm = np.zeros((M, N * Wc), dtype=np.float32)
+    for j in range(N):
+        for v in range(Wc):
+            if var_mask[j, v]:
+                B_vm[int(var[j, v]), j * Wc + v] = 1.0
+
     return EdgeLayout(
         M=M, N=N, Wr=Wr, Wc=Wc,
         chk_nbrs=chk.astype(np.int32), var_nbrs=var.astype(np.int32),
         chk_mask=chk_mask, var_mask=var_mask,
         cm_from_vm=cm_from_vm, vm_from_cm=vm_from_cm,
+        T_vm=T_vm, T_cm=T_cm, B_cm=B_cm, B_vm=B_vm,
     )
