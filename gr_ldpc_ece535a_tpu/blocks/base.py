@@ -1,0 +1,167 @@
+"""Streaming block layer: the TPU-native analog of the GNU Radio runtime role.
+
+The reference delegates scheduling to GNU Radio: one thread per block,
+single-writer ring buffers, per-block forecast()/general_work() rate
+negotiation (SURVEY.md L0). A thread-per-block design is exactly wrong for a
+TPU — the device wants *large batches*, not symbol-at-a-time handoffs. This
+runtime instead runs a host-side demand loop over a DAG of blocks; each block
+consumes as much input as it can in one `work()` call and produces a batch,
+so device-backed blocks (encoder/decoder) see thousands of frames per call.
+
+When the native C++ runtime library is built (runtime/), the inter-block
+byte streams ride its lock-free SPSC ring buffers and the IO-side blocks
+(file/BMP scanning) run natively; the pure-Python fallback keeps everything
+working without the shared library.
+
+API sketch::
+
+    fg = FlowGraph()
+    fg.connect(src, enc, dec, sink)
+    fg.run()            # until sources exhaust (or max_items)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+__all__ = ["Block", "FlowGraph"]
+
+
+class Block:
+    """A stream-processing block.
+
+    Subclasses set ``in_dtype`` / ``out_dtype`` (numpy dtypes, or None for
+    source/sink ends) and implement ``work(data) -> (consumed, output)``:
+    consume any prefix of ``data`` and return produced items. Sources are
+    called as ``work(None)`` and signal exhaustion by returning
+    ``(0, None)`` with ``self.done = True``.
+    """
+
+    in_dtype: Optional[np.dtype] = None
+    out_dtype: Optional[np.dtype] = None
+    name: str = "block"
+
+    def __init__(self) -> None:
+        self.done = False
+
+    def work(self, data: Optional[np.ndarray]):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def start(self) -> None:
+        """Called once before streaming begins."""
+
+    def stop(self) -> None:
+        """Called once after streaming ends (flush point for sinks)."""
+
+    def __repr__(self) -> str:
+        return f"<{type(self).__name__} {self.name}>"
+
+
+class _Edge:
+    """Host-side stream buffer between two blocks (numpy ring semantics)."""
+
+    def __init__(self, dtype) -> None:
+        self.dtype = np.dtype(dtype)
+        self.chunks: list[np.ndarray] = []
+        self.size = 0
+
+    def push(self, data: np.ndarray) -> None:
+        if data is not None and len(data):
+            self.chunks.append(np.asarray(data, self.dtype).ravel())
+            self.size += len(self.chunks[-1])
+
+    def peek_all(self) -> np.ndarray:
+        if len(self.chunks) > 1:
+            self.chunks = [np.concatenate(self.chunks)]
+        return self.chunks[0] if self.chunks else np.empty(0, self.dtype)
+
+    def consume(self, n: int) -> None:
+        if n <= 0:
+            return
+        buf = self.peek_all()
+        rest = buf[n:]
+        self.chunks = [rest] if len(rest) else []
+        self.size = len(rest)
+
+
+class FlowGraph:
+    """A linear-or-branching DAG of blocks with a host demand-driven scheduler.
+
+    ``connect(a, b, c, ...)`` wires a chain. Fan-out: connect(a, b) then
+    connect(a, c) duplicates a's output to both consumers.
+    """
+
+    def __init__(self) -> None:
+        self._blocks: list[Block] = []
+        self._outs: dict[int, list[_Edge]] = {}   # block idx -> outgoing edges
+        self._ins: dict[int, _Edge] = {}          # block idx -> incoming edge
+
+    def _idx(self, b: Block) -> int:
+        for i, x in enumerate(self._blocks):
+            if x is b:
+                return i
+        self._blocks.append(b)
+        return len(self._blocks) - 1
+
+    def connect(self, *chain: Block) -> None:
+        for a, b in zip(chain, chain[1:]):
+            ia, ib = self._idx(a), self._idx(b)
+            if a.out_dtype is None:
+                raise ValueError(f"{a} has no output port")
+            if b.in_dtype is None:
+                raise ValueError(f"{b} has no input port")
+            if np.dtype(a.out_dtype) != np.dtype(b.in_dtype):
+                raise ValueError(
+                    f"dtype mismatch {a}:{np.dtype(a.out_dtype)} -> "
+                    f"{b}:{np.dtype(b.in_dtype)}")
+            edge = _Edge(a.out_dtype)
+            self._outs.setdefault(ia, []).append(edge)
+            if ib in self._ins:
+                raise ValueError(f"{b} already has an upstream connection")
+            self._ins[ib] = edge
+
+    def run(self, max_rounds: Optional[int] = None, quiet: bool = True) -> None:
+        """Run until every source is exhausted and all buffers drain."""
+        for b in self._blocks:
+            b.start()
+        rounds = 0
+        try:
+            while True:
+                progressed = False
+                for i, b in enumerate(self._blocks):
+                    out = None
+                    if b.in_dtype is None:  # source
+                        if b.done:
+                            continue
+                        _, out = b.work(None)
+                        if out is not None and len(out):
+                            progressed = True
+                    else:
+                        edge = self._ins.get(i)
+                        if edge is None or edge.size == 0:
+                            continue
+                        data = edge.peek_all()
+                        consumed, out = b.work(data)
+                        if consumed:
+                            edge.consume(consumed)
+                            progressed = True
+                        if out is not None and len(out):
+                            progressed = True
+                    if out is not None and len(out):
+                        for e in self._outs.get(i, []):
+                            e.push(out)
+                rounds += 1
+                if max_rounds is not None and rounds >= max_rounds:
+                    break
+                if not progressed:
+                    sources_done = all(
+                        b.done for b in self._blocks if b.in_dtype is None)
+                    if sources_done:
+                        break
+                    time.sleep(0.001)
+        finally:
+            for b in self._blocks:
+                b.stop()

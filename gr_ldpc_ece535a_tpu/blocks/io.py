@@ -1,0 +1,311 @@
+"""Source/sink blocks: vector, random, file, throttle, dump, image sink.
+
+These cover the GNU Radio stock blocks the reference's apps and flowgraphs
+use (vector_source_b / vector_sink_c / random_source / throttle / file_source
+— see apps/ldpc_ece535a_dump:42-52 and examples/*.grc) plus the project's own
+image_sink (BMP stream reassembly, lib/image_sink_impl.cc:46-84).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .base import Block
+
+__all__ = [
+    "VectorSource",
+    "VectorSink",
+    "RandomSource",
+    "FileSource",
+    "Throttle",
+    "DumpSink",
+    "NullSink",
+    "Head",
+    "ImageSink",
+]
+
+# DIB header sizes accepted by the reference's BMP scan
+# (lib/image_sink_impl.cc:57-59)
+_DIB_SIZES = (12, 40, 52, 56, 64, 108, 124)
+
+
+class VectorSource(Block):
+    """Emit a fixed vector once (or repeated)."""
+
+    in_dtype = None
+    name = "vector_source"
+
+    def __init__(self, data, dtype=np.uint8, repeat: bool = False,
+                 max_items: Optional[int] = None, chunk: int = 65536) -> None:
+        super().__init__()
+        self.out_dtype = np.dtype(dtype)
+        self._data = np.asarray(data, self.out_dtype).ravel()
+        self._repeat = repeat
+        self._max = max_items
+        self._pos = 0
+        self._emitted = 0
+        self._chunk = chunk
+
+    def work(self, _):
+        if self.done:
+            return 0, None
+        n = len(self._data)
+        budget = self._chunk
+        if self._max is not None:
+            budget = min(budget, self._max - self._emitted)
+        pieces = []
+        while budget > 0:
+            if self._pos >= n:
+                if not self._repeat:
+                    self.done = True
+                    break
+                self._pos = 0
+            take = min(budget, n - self._pos)
+            pieces.append(self._data[self._pos : self._pos + take])
+            self._pos += take
+            budget -= take
+        out = np.concatenate(pieces) if pieces else None
+        if out is not None:
+            self._emitted += len(out)
+        if self._max is not None and self._emitted >= self._max:
+            self.done = True
+        return 0, out
+
+
+class VectorSink(Block):
+    """Collect everything into memory (`.data()`)."""
+
+    out_dtype = None
+    name = "vector_sink"
+
+    def __init__(self, dtype=np.uint8) -> None:
+        super().__init__()
+        self.in_dtype = np.dtype(dtype)
+        self._chunks: list[np.ndarray] = []
+
+    def work(self, data):
+        self._chunks.append(np.array(data, copy=True))
+        return len(data), None
+
+    def data(self) -> np.ndarray:
+        return (np.concatenate(self._chunks)
+                if self._chunks else np.empty(0, self.in_dtype))
+
+
+class RandomSource(Block):
+    """Random bytes in [lo, hi), like the dump app's random_source(32..127)
+    (apps/ldpc_ece535a_dump:46)."""
+
+    in_dtype = None
+    out_dtype = np.uint8
+    name = "random_source"
+
+    def __init__(self, lo: int = 32, hi: int = 127, total: int = 1 << 20,
+                 seed: int = 0, chunk: int = 65536) -> None:
+        super().__init__()
+        self._rng = np.random.default_rng(seed)
+        self._lo, self._hi = lo, hi
+        self._left = total
+        self._chunk = chunk
+
+    def work(self, _):
+        if self._left <= 0:
+            self.done = True
+            return 0, None
+        n = min(self._chunk, self._left)
+        self._left -= n
+        if self._left <= 0:
+            self.done = True
+        return 0, self._rng.integers(self._lo, self._hi, n, dtype=np.uint8)
+
+
+class FileSource(Block):
+    """Stream a file's bytes (optionally repeating, like GR file_source)."""
+
+    in_dtype = None
+    out_dtype = np.uint8
+    name = "file_source"
+
+    def __init__(self, path, repeat: bool = False, repeats: Optional[int] = None,
+                 chunk: int = 65536) -> None:
+        super().__init__()
+        self._data = np.frombuffer(Path(path).read_bytes(), np.uint8)
+        self._repeat = repeat or (repeats is not None and repeats > 1)
+        self._reps_left = repeats
+        self._pos = 0
+        self._chunk = chunk
+
+    def work(self, _):
+        if self.done:
+            return 0, None
+        out = self._data[self._pos : self._pos + self._chunk]
+        self._pos += len(out)
+        if self._pos >= len(self._data):
+            self._pos = 0
+            if self._reps_left is not None:
+                self._reps_left -= 1
+                if self._reps_left <= 0:
+                    self.done = True
+            elif not self._repeat:
+                self.done = True
+        return 0, out
+
+
+class Throttle(Block):
+    """Rate-limit a stream to items/s (GR throttle). Pass-through dtype."""
+
+    name = "throttle"
+
+    def __init__(self, rate: float, dtype=np.uint8) -> None:
+        super().__init__()
+        self.in_dtype = self.out_dtype = np.dtype(dtype)
+        self._rate = rate
+        self._t0: Optional[float] = None
+        self._sent = 0
+
+    def work(self, data):
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        allowed = int((now - self._t0) * self._rate) - self._sent + 1
+        n = max(0, min(len(data), allowed))
+        if n == 0:
+            time.sleep(min(0.01, 1.0 / self._rate))
+            return 0, None
+        self._sent += n
+        return n, data[:n]
+
+
+class DumpSink(Block):
+    """Print bytes as ASCII to a stream (the dump app's dump_sink,
+    apps/ldpc_ece535a_dump:17-29)."""
+
+    out_dtype = None
+    in_dtype = np.uint8
+    name = "dump_sink"
+
+    def __init__(self, stream=None) -> None:
+        super().__init__()
+        import sys
+        self._stream = stream or sys.stdout
+
+    def work(self, data):
+        self._stream.write(bytes(np.asarray(data, np.uint8)).decode("latin-1"))
+        self._stream.flush()
+        return len(data), None
+
+
+class NullSink(Block):
+    out_dtype = None
+    name = "null_sink"
+
+    def __init__(self, dtype=np.uint8) -> None:
+        super().__init__()
+        self.in_dtype = np.dtype(dtype)
+        self.count = 0
+
+    def work(self, data):
+        self.count += len(data)
+        return len(data), None
+
+
+class Head(Block):
+    """Pass at most n items then mark downstream exhaustion (GR head block)."""
+
+    name = "head"
+
+    def __init__(self, n: int, dtype=np.uint8) -> None:
+        super().__init__()
+        self.in_dtype = self.out_dtype = np.dtype(dtype)
+        self._left = n
+
+    def work(self, data):
+        n = min(len(data), self._left)
+        self._left -= n
+        if self._left <= 0:
+            self.done = True
+        return len(data), data[:n] if n else None
+
+
+class ImageSink(Block):
+    """Reassemble BMP images from a byte stream and write them to disk.
+
+    Port of image_sink_impl::work (lib/image_sink_impl.cc:46-84): scan for a
+    BMP header ('B','M', zeroed reserved bytes, known DIB size), read the
+    little-endian file size, buffer bytes, and when the *next* header arrives
+    (or the stream ends with a complete image) write the previous image out.
+    The reference shells out to an X11 viewer; here that's an optional
+    callback. Unlike the reference (which misses headers within 18 bytes of
+    a work-chunk boundary), scanning here carries an 18-byte tail across
+    chunks, so no header is ever missed.
+    """
+
+    out_dtype = None
+    in_dtype = np.uint8
+    name = "image_sink"
+
+    def __init__(self, out_path: str = "result.bmp", every_image: bool = False,
+                 on_image=None, verbose: bool = True) -> None:
+        super().__init__()
+        self._out_path = out_path
+        self._every = every_image  # write result_1.bmp, result_2.bmp, ...
+        self._on_image = on_image
+        self._verbose = verbose
+        self._stream = bytearray()   # unscanned/unflushed window of the stream
+        self._img_start: Optional[int] = None  # header offset in _stream
+        self._file_size = 0
+        self._scanned = 0            # scan frontier in _stream
+        self.images_written = 0
+
+    @staticmethod
+    def _is_header(b: bytes, i: int) -> bool:
+        return (b[i] == 0x42 and b[i + 1] == 0x4D  # 'B','M'
+                and b[i + 6] == 0 and b[i + 7] == 0
+                and b[i + 8] == 0 and b[i + 9] == 0
+                and b[i + 14] in _DIB_SIZES)
+
+    def _flush_image(self) -> None:
+        if (self._img_start is not None and self._file_size > 0
+                and len(self._stream) - self._img_start >= self._file_size):
+            img = bytes(self._stream[self._img_start : self._img_start + self._file_size])
+            path = self._out_path
+            if self._every:
+                stem, dot, ext = self._out_path.rpartition(".")
+                path = (f"{stem}_{self.images_written + 1}.{ext}"
+                        if dot else f"{path}_{self.images_written + 1}")
+            Path(path).write_bytes(img)
+            self.images_written += 1
+            if self._verbose:
+                print("File written")
+            if self._on_image is not None:
+                self._on_image(path)
+
+    def work(self, data):
+        self._stream.extend(bytes(np.asarray(data, np.uint8)))
+        s = self._stream
+        # scan with 18-byte lookahead (matching the reference's bound check)
+        while self._scanned <= len(s) - 19:
+            i = self._scanned
+            if self._is_header(s, i):
+                if self._img_start is not None:
+                    self._flush_image()  # previous image complete -> write
+                self._img_start = i
+                self._file_size = int.from_bytes(s[i + 2 : i + 6], "little")
+                if self._verbose:
+                    print(f"BMP Header Found: fileSize={self._file_size}")
+            self._scanned += 1
+        # trim garbage before the current image (or before the scan frontier)
+        keep_from = self._img_start if self._img_start is not None else self._scanned
+        if keep_from > 0:
+            del s[:keep_from]
+            self._scanned -= keep_from
+            if self._img_start is not None:
+                self._img_start = 0
+        return len(data), None
+
+    def stop(self) -> None:
+        self._flush_image()
