@@ -1,0 +1,91 @@
+"""North-star benchmark: decoded info bits/s/chip, 20 BP iterations.
+
+Measures the sum-product decoder (the reference method the metric targets,
+/root/reference/lib/ldpc_decoder_cb_impl.cc:478-557) on the reference 32x64
+code at a fixed 20 iterations over a large resident batch — the BASELINE.json
+configuration ">=1e9 decoded info bits/s per v5e chip". Input frames are
+generated on device (encode + AWGN) and stay on device; only the timing
+scalar returns to host.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE = 1.0e9  # info bits/s/chip target (BASELINE.md)
+
+
+def _make_inputs(code, batch, key):
+    from gr_ldpc_ece535a_tpu.ops import awgn, encode_bits, bpsk_map
+
+    kd, kn = jax.random.split(key)
+    d = jax.random.bernoulli(kd, 0.5, (batch, code.K)).astype(jnp.int8)
+    tx = bpsk_map(encode_bits(d, code))
+    return awgn(kn, tx, ebn0_db=4.0)
+
+
+def _time_fn(fn, rx, reps=3, inner=1):
+    out = fn(rx)
+    jax.block_until_ready(out)  # warmup / compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            out = fn(rx)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def main() -> None:
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import decode_sumproduct
+    from gr_ldpc_ece535a_tpu.ops.pallas_bp import pallas_decode_sumproduct
+
+    code = get_code("block_32_64")
+    iterations = 20
+    batch = 1 << 17  # 131072 frames resident
+    platform = jax.devices()[0].platform
+    rx = _make_inputs(code, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(rx)
+
+    results = {}
+    # Pallas VMEM-resident kernel (the production path on TPU)
+    try:
+        fn = jax.jit(lambda r: pallas_decode_sumproduct(
+            r, code, iterations=iterations, block_b=1024))
+        results["pallas"] = _time_fn(fn, rx)
+    except Exception as e:  # noqa: BLE001 - fall back off-TPU
+        results["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+    # XLA reference path (fixed-iteration variant)
+    fn_x = jax.jit(lambda r: decode_sumproduct(
+        r, code, iterations=iterations, early_exit=False))
+    results["xla"] = _time_fn(fn_x, rx)
+
+    times = {k: v for k, v in results.items() if isinstance(v, float)}
+    best_name = min(times, key=times.get)
+    secs = times[best_name]
+    value = batch * code.K / secs
+    print(json.dumps({
+        "metric": "decoded_info_bits_per_s_per_chip_20it_sumproduct",
+        "value": value,
+        "unit": "bits/s",
+        "vs_baseline": value / BASELINE,
+        "backend": platform,
+        "best_path": best_name,
+        "batch": batch,
+        "all_paths_bits_per_s": {k: batch * code.K / v for k, v in times.items()},
+        **({"pallas_error": results["pallas_error"]}
+           if "pallas_error" in results else {}),
+    }))
+
+
+if __name__ == "__main__":
+    main()

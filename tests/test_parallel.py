@@ -1,0 +1,131 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (conftest).
+
+These stand in for real pod runs, per SURVEY.md §4's test plan: the sharded
+sweep must reproduce the single-device computation exactly (same fold_in key
+derivation), and the halo-exchange stream decode must agree frame-for-frame
+with the unsharded oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gr_ldpc_ece535a_tpu.codes import get_code
+from gr_ldpc_ece535a_tpu.ops import (
+    awgn,
+    bpsk_map,
+    encode_bits,
+    encode_to_symbols,
+    make_decoder,
+    syndrome_weight,
+)
+from gr_ldpc_ece535a_tpu.parallel import (
+    make_mesh,
+    make_sweep_step,
+    mesh_axis_sizes,
+    shard_stream_decode,
+    stream_decode_reference,
+)
+
+
+@pytest.fixture(scope="module")
+def code():
+    return get_code("block_32_64")
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(("batch",))
+    assert mesh_axis_sizes(mesh) == {"batch": 8}
+    mesh2 = make_mesh(("stream", "batch"), shape=(2, 4))
+    assert mesh_axis_sizes(mesh2) == {"stream": 2, "batch": 4}
+    with pytest.raises(ValueError):
+        make_mesh(("batch",), shape=(3,))
+
+
+def _manual_sweep(code, key, ebn0_db, n_shards, frames_per_device, method, iterations):
+    """Replicate the sharded computation serially (same key derivation)."""
+    dec = make_decoder(code, method=method, iterations=iterations)
+    totals = np.zeros(4)
+    for idx in range(n_shards):
+        kd, kn = jax.random.split(jax.random.fold_in(key, idx))
+        d = jax.random.bernoulli(kd, 0.5, (frames_per_device, code.K)).astype(jnp.int8)
+        u = encode_bits(d, code)
+        rx = awgn(kn, bpsk_map(u), jnp.float32(ebn0_db))
+        vhat = dec(rx)
+        wrong = np.asarray(vhat != u)
+        totals[0] += wrong.sum()
+        totals[1] += wrong[:, code.M:].sum()
+        totals[2] += (wrong.any(axis=-1)).sum()
+        totals[3] += (np.asarray(syndrome_weight(vhat, code.H)) > 0).sum()
+    return totals
+
+
+def test_sweep_step_matches_serial(code):
+    mesh = make_mesh(("batch",))
+    step = make_sweep_step(code, mesh, method=1, iterations=5, frames_per_device=64)
+    key = jax.random.PRNGKey(42)
+    stats = step(key, 3.0)
+    assert float(stats.n_frames) == 8 * 64
+    assert float(stats.n_bits) == 8 * 64 * code.N
+    manual = _manual_sweep(code, key, 3.0, 8, 64, method=1, iterations=5)
+    got = np.array([
+        float(stats.bit_errors), float(stats.info_bit_errors),
+        float(stats.frame_errors), float(stats.detected_errors)])
+    np.testing.assert_array_equal(got, manual)
+
+
+def test_sweep_ber_improves_with_snr(code):
+    mesh = make_mesh(("batch",))
+    step = make_sweep_step(code, mesh, method=0, iterations=5, frames_per_device=256)
+    key = jax.random.PRNGKey(0)
+    lo = step(key, 0.0)
+    hi = step(key, 7.0)
+    assert float(hi.bit_errors) < float(lo.bit_errors)
+    assert float(hi.frame_errors) <= float(lo.frame_errors)
+
+
+def test_sweep_step_on_2d_mesh(code):
+    """Sweep shards over "batch" while "stream" axis exists but is idle."""
+    mesh2 = make_mesh(("stream", "batch"), shape=(2, 4))
+    step = make_sweep_step(code, mesh2, method=0, iterations=5, frames_per_device=32)
+    stats = step(jax.random.PRNGKey(1), 5.0)
+    assert float(stats.n_frames) == 4 * 32
+
+
+@pytest.mark.parametrize("offset", [0, 17])
+def test_shard_stream_decode_matches_oracle(code, offset):
+    N = code.N
+    S = 8
+    n_frames = 32  # -> T = 2048 = 8 blocks of 4 frames
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 2, (n_frames, code.K)).astype(np.int8)
+    tx = np.asarray(encode_to_symbols(
+        jnp.asarray(np.packbits(data, axis=-1)), code))
+    stream = tx.reshape(-1).astype(np.float32)
+    stream = stream + rng.normal(0, 0.4, stream.shape).astype(np.float32)
+    # place the frame grid at `offset` within a same-length stream
+    full = np.concatenate([rng.normal(0, 0.1, offset).astype(np.float32),
+                           stream])[: len(stream)]
+
+    mesh = make_mesh(("stream",))
+    vhat_s, w_s = shard_stream_decode(
+        jnp.asarray(full), code, mesh, method=0, iterations=5, offset=offset)
+    vhat_r, w_r = stream_decode_reference(full, code, method=0, iterations=5,
+                                          offset=offset)
+    F_valid = vhat_r.shape[0]  # frames fully inside the stream
+    assert vhat_s.shape == (len(full) // N, N)
+    np.testing.assert_array_equal(np.asarray(vhat_s)[:F_valid], vhat_r)
+    np.testing.assert_array_equal(np.asarray(w_s)[:F_valid], w_r)
+    # decoded frames must recover the transmitted data where aligned
+    if offset == 0:
+        rec = np.asarray(vhat_s)[:, code.M:]
+        np.testing.assert_array_equal(rec, data)
+
+
+def test_shard_stream_decode_validates_args(code):
+    mesh = make_mesh(("stream",))
+    with pytest.raises(ValueError):
+        shard_stream_decode(jnp.zeros(100), code, mesh)  # not divisible
+    with pytest.raises(ValueError):
+        shard_stream_decode(jnp.zeros(8 * 64), code, mesh, offset=64)
