@@ -2,8 +2,10 @@
 
 from .base import Block, FlowGraph
 from .channel import AwgnBlock, ChannelModelBlock
+from .graphcfg import BLOCK_REGISTRY, load_flowgraph, run_flowgraph
 from .io import (
     DumpSink,
+    FileSink,
     FileSource,
     Head,
     ImageSink,
@@ -17,9 +19,11 @@ from .ldpc import LdpcDecoderBlock, LdpcEncoderBlock
 
 __all__ = [
     "AwgnBlock",
+    "BLOCK_REGISTRY",
     "Block",
     "ChannelModelBlock",
     "DumpSink",
+    "FileSink",
     "FileSource",
     "FlowGraph",
     "Head",
@@ -31,4 +35,6 @@ __all__ = [
     "Throttle",
     "VectorSink",
     "VectorSource",
+    "load_flowgraph",
+    "run_flowgraph",
 ]

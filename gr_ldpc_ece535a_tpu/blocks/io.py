@@ -21,6 +21,7 @@ __all__ = [
     "VectorSink",
     "RandomSource",
     "FileSource",
+    "FileSink",
     "Throttle",
     "DumpSink",
     "NullSink",
@@ -124,16 +125,20 @@ class RandomSource(Block):
 
 
 class FileSource(Block):
-    """Stream a file's bytes (optionally repeating, like GR file_source)."""
+    """Stream a file's items (optionally repeating, like GR file_source).
+
+    ``dtype`` selects the item type: uint8 bytes (default) or e.g.
+    complex64 for a recorded symbol stream (the GR file_source's
+    byte/complex modes used by the transmitter/receiver split)."""
 
     in_dtype = None
-    out_dtype = np.uint8
     name = "file_source"
 
     def __init__(self, path, repeat: bool = False, repeats: Optional[int] = None,
-                 chunk: int = 65536) -> None:
+                 chunk: int = 65536, dtype=np.uint8) -> None:
         super().__init__()
-        self._data = np.frombuffer(Path(path).read_bytes(), np.uint8)
+        self.out_dtype = np.dtype(dtype)
+        self._data = np.frombuffer(Path(path).read_bytes(), self.out_dtype)
         self._repeat = repeat or (repeats is not None and repeats > 1)
         self._reps_left = repeats
         self._pos = 0
@@ -153,6 +158,33 @@ class FileSource(Block):
             elif not self._repeat:
                 self.done = True
         return 0, out
+
+
+class FileSink(Block):
+    """Append stream items to a file (GR file_sink). With a complex64 dtype
+    this records the symbol stream — the file-handoff stand-in for the
+    reference's USRP RF link (transmitter.grc -> receiver.grc)."""
+
+    out_dtype = None
+    name = "file_sink"
+
+    def __init__(self, path, dtype=np.uint8) -> None:
+        super().__init__()
+        self.in_dtype = np.dtype(dtype)
+        self._path = Path(path)
+        self._fh = None
+
+    def start(self) -> None:
+        self._fh = open(self._path, "wb")
+
+    def work(self, data):
+        self._fh.write(np.asarray(data, self.in_dtype).tobytes())
+        return len(data), None
+
+    def stop(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
 
 
 class Throttle(Block):

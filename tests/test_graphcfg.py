@@ -1,0 +1,101 @@
+"""YAML flowgraph loader tests (the GRC-descriptor-equivalent layer)."""
+
+import numpy as np
+import pytest
+
+from gr_ldpc_ece535a_tpu.blocks import (
+    FileSink,
+    FileSource,
+    FlowGraph,
+    VectorSource,
+    load_flowgraph,
+    run_flowgraph,
+)
+
+
+def _write(tmp_path, text, name="g.yaml"):
+    p = tmp_path / name
+    p.write_text(text)
+    return p
+
+
+def test_load_and_run_loopback(tmp_path):
+    p = _write(tmp_path, """
+name: t
+blocks:
+  src:  {type: random_source, lo: 32, hi: 127, total: 64, seed: 3}
+  enc:  {type: ldpc_encoder}
+  dec:  {type: ldpc_decoder, method: 0, verbose: false}
+  sink: {type: vector_sink}
+connections:
+  - [src, enc, dec, sink]
+""")
+    blocks = run_flowgraph(p)
+    out = blocks["sink"].data()
+    # regenerate the source stream for comparison
+    expect = np.random.default_rng(3).integers(32, 127, 64, dtype=np.uint8)
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_overrides_and_relative_paths(tmp_path):
+    (tmp_path / "in.bin").write_bytes(b"abcd" * 8)
+    p = _write(tmp_path, """
+blocks:
+  src:  {type: file_source, path: in.bin}
+  sink: {type: file_sink, path: out.bin}
+connections:
+  - [src, sink]
+""")
+    fg, blocks = load_flowgraph(p, overrides={"src": {"repeats": 2}})
+    fg.run()
+    assert (tmp_path / "out.bin").read_bytes() == b"abcd" * 16
+
+
+def test_complex_file_handoff(tmp_path):
+    """transmitter.yaml/receiver.yaml pattern: symbols via complex64 file."""
+    sym = (np.arange(8) - 4).astype(np.complex64)
+    link = tmp_path / "link.c64"
+    fg = FlowGraph()
+    fg.connect(VectorSource(sym, np.complex64), FileSink(link, np.complex64))
+    fg.run()
+    fg2 = FlowGraph()
+    from gr_ldpc_ece535a_tpu.blocks import VectorSink
+    snk = VectorSink(np.complex64)
+    fg2.connect(FileSource(link, dtype=np.complex64), snk)
+    fg2.run()
+    np.testing.assert_array_equal(snk.data(), sym)
+
+
+def test_bad_documents(tmp_path):
+    with pytest.raises(ValueError, match="unknown type"):
+        load_flowgraph(_write(tmp_path, """
+blocks:
+  x: {type: nope}
+connections: []
+"""))
+    with pytest.raises(ValueError, match="missing 'blocks'"):
+        load_flowgraph(_write(tmp_path, "just: scalar", "b.yaml"))
+    with pytest.raises(ValueError, match="2\\+ blocks"):
+        load_flowgraph(_write(tmp_path, """
+blocks:
+  src: {type: random_source, total: 4}
+connections:
+  - [src]
+""", "c.yaml"))
+    with pytest.raises(KeyError):
+        load_flowgraph(_write(tmp_path, """
+blocks:
+  src: {type: random_source, total: 4}
+connections: []
+""", "d.yaml"), overrides={"ghost": {"x": 1}})
+
+
+def test_dtype_mismatch_rejected(tmp_path):
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        load_flowgraph(_write(tmp_path, """
+blocks:
+  src:  {type: random_source, total: 4}
+  dec:  {type: ldpc_decoder, verbose: false}
+connections:
+  - [src, dec]
+"""))

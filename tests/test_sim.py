@@ -1,0 +1,45 @@
+"""Waterfall harness tests (ldpc_lapack-equivalent experiment loop)."""
+
+import json
+
+import numpy as np
+
+from gr_ldpc_ece535a_tpu.sim import run_waterfall
+
+
+def test_waterfall_small():
+    res = run_waterfall(
+        code="sim_8_16", ebn0_db=[-2.0, 4.0, 10.0],
+        frames_per_point=800, iterations=5,
+        methods=("hard", "minsum"), seed=1)
+    # shapes and bookkeeping
+    assert res.frames_per_point >= 800
+    for m in ("hard", "minsum"):
+        assert res.ber[m].shape == (3,)
+        # waterfalls must be non-increasing in SNR (statistically safe at
+        # these sample sizes and spacings)
+        assert res.ber[m][0] > res.ber[m][2]
+    # BP must beat the slicer at high SNR on a real code
+    assert res.ber["minsum"][2] <= res.ber["hard"][2]
+    # all decoders saw the same frames: hard BER equals slicer BER of the
+    # identical noisy batch, so detected FER for hard >= true FER mismatch
+    # bookkeeping stays consistent
+    for m in ("hard", "minsum"):
+        assert np.all(res.fer[m] <= 1.0) and np.all(res.fer[m] >= 0.0)
+
+    # serialization surfaces
+    doc = json.loads(res.to_json())
+    assert doc["code"] == "sim_8_16"
+    oct_script = res.to_octave()
+    assert "semilogy" in oct_script and "ber_minsum" in oct_script
+    table = res.to_table()
+    assert "BER(minsum)" in table
+
+
+def test_waterfall_plot(tmp_path):
+    res = run_waterfall(
+        code="sim_8_16", ebn0_db=[0.0, 6.0], frames_per_point=160,
+        iterations=3, methods=("hard",), seed=0)
+    out = tmp_path / "w.png"
+    res.plot(str(out))
+    assert out.stat().st_size > 1000
