@@ -281,7 +281,8 @@ class ImageSink(Block):
     name = "image_sink"
 
     def __init__(self, out_path: str = "result.bmp", every_image: bool = False,
-                 on_image=None, verbose: bool = True) -> None:
+                 on_image=None, verbose: bool = True,
+                 use_native: Optional[bool] = None) -> None:
         super().__init__()
         self._out_path = out_path
         self._every = every_image  # write result_1.bmp, result_2.bmp, ...
@@ -292,6 +293,18 @@ class ImageSink(Block):
         self._file_size = 0
         self._scanned = 0            # scan frontier in _stream
         self.images_written = 0
+        # native C++ scanner (runtime/): same behavior, faster scanning;
+        # auto-selected when the toolchain built the library
+        self._native = None
+        if use_native is not False:
+            try:
+                from .. import runtime
+                if runtime.native_available():
+                    self._native = runtime.BmpScanner()
+            except Exception:
+                self._native = None
+            if use_native and self._native is None:
+                raise RuntimeError("native runtime requested but unavailable")
 
     @staticmethod
     def _is_header(b: bytes, i: int) -> bool:
@@ -303,20 +316,40 @@ class ImageSink(Block):
     def _flush_image(self) -> None:
         if (self._img_start is not None and self._file_size > 0
                 and len(self._stream) - self._img_start >= self._file_size):
-            img = bytes(self._stream[self._img_start : self._img_start + self._file_size])
-            path = self._out_path
-            if self._every:
-                stem, dot, ext = self._out_path.rpartition(".")
-                path = (f"{stem}_{self.images_written + 1}.{ext}"
-                        if dot else f"{path}_{self.images_written + 1}")
-            Path(path).write_bytes(img)
-            self.images_written += 1
-            if self._verbose:
-                print("File written")
-            if self._on_image is not None:
-                self._on_image(path)
+            self._write_out(bytes(
+                self._stream[self._img_start : self._img_start + self._file_size]))
+
+    def _write_out(self, img: bytes) -> None:
+        path = self._out_path
+        if self._every:
+            stem, dot, ext = self._out_path.rpartition(".")
+            path = (f"{stem}_{self.images_written + 1}.{ext}"
+                    if dot else f"{path}_{self.images_written + 1}")
+        Path(path).write_bytes(img)
+        self.images_written += 1
+        if self._verbose:
+            print("File written")
+        if self._on_image is not None:
+            self._on_image(path)
+
+    def _drain_native(self) -> None:
+        headers = self._native.headers_found
+        if self._verbose and headers > getattr(self, "_hdrs_seen", 0):
+            for _ in range(headers - getattr(self, "_hdrs_seen", 0)):
+                print("BMP Header Found")
+            self._hdrs_seen = headers
+        while True:
+            img = self._native.pop_image()
+            if img is None:
+                break
+            self._write_out(img)
 
     def work(self, data):
+        if self._native is not None:
+            buf = bytes(np.asarray(data, np.uint8))
+            self._native.feed(buf)
+            self._drain_native()
+            return len(data), None
         self._stream.extend(bytes(np.asarray(data, np.uint8)))
         s = self._stream
         # scan with 18-byte lookahead (matching the reference's bound check)
@@ -340,4 +373,8 @@ class ImageSink(Block):
         return len(data), None
 
     def stop(self) -> None:
-        self._flush_image()
+        if self._native is not None:
+            self._native.finish()
+            self._drain_native()
+        else:
+            self._flush_image()

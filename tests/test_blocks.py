@@ -199,3 +199,26 @@ def test_random_source_and_null_sink():
     snk = NullSink()
     _run_chain(src, snk)
     assert snk.count == 1000
+
+
+def test_image_sink_native_and_python_agree(tmp_path):
+    """Both ImageSink scan paths (native C++ scanner vs pure Python) must
+    produce identical files for the same chunked stream."""
+    from gr_ldpc_ece535a_tpu import runtime
+    img1 = _tiny_bmp(b"\x55" * 40)
+    img2 = _tiny_bmp(b"\x66" * 12)
+    stream = b"xy" + img1 + b"z" + img2 + b"\x00" * 25
+    outs = {}
+    for label, use_native in (("py", False), ("nat", None)):
+        if use_native is None and not runtime.native_available():
+            pytest.skip("no native runtime")
+        out = tmp_path / f"{label}.bmp"
+        sink = ImageSink(out_path=str(out), every_image=True, verbose=False,
+                         use_native=use_native)
+        src = VectorSource(np.frombuffer(stream, np.uint8), chunk=9)
+        _run_chain(src, sink)
+        outs[label] = (sink.images_written,
+                       (tmp_path / f"{label}_1.bmp").read_bytes(),
+                       (tmp_path / f"{label}_2.bmp").read_bytes())
+    assert outs["py"] == outs["nat"]
+    assert outs["py"][1] == img1 and outs["py"][2] == img2
