@@ -20,4 +20,17 @@ __version__ = "0.1.0"
 
 from . import codes
 
-__all__ = ["codes", "__version__"]
+_SUBMODULES = ("blocks", "ops", "parallel", "runtime", "sim", "utils")
+
+__all__ = ["codes", *_SUBMODULES, "__version__"]
+
+
+def __getattr__(name):
+    # lazy submodule import: `import gr_ldpc_ece535a_tpu` stays cheap (no jax
+    # trace-time work) while `pkg.blocks` etc. resolve on first touch
+    if name in _SUBMODULES:
+        import importlib
+        mod = importlib.import_module(f".{name}", __name__)
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
