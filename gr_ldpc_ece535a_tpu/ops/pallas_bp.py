@@ -21,6 +21,14 @@ Layout (chosen for the VPU/MXU, not a translation of the reference):
 The kernel reproduces decodeLogDomainSimple's arithmetic including sign(0)=0
 and the DBL_MAX min identity (float32 max here); hard-decision equivalence to
 the jnp float32 path is asserted in tests/test_pallas.py.
+
+Known deviation: on real TPU hardware the MXU's f32 accumulation order in the
+segment-sum matmul differs from the XLA path's ordered 3-term sums, so after
+many iterations (~20) a rare NON-CONVERGED frame can round to different hard
+decisions (measured 1/4096 frames at Eb/N0=4dB, min-sum, 20 iters; both
+outputs had nonzero syndrome, i.e. the frame is a decode failure either way).
+Converged frames are bit-exact across Pallas/XLA/C++-double paths — see the
+TPU parity sweep in the commit history and tests/test_pallas.py (interpret).
 """
 
 from __future__ import annotations
