@@ -13,14 +13,21 @@ provides the TPU-native scaling layer mandated by BASELINE.json:
              stream with (N-1)-symbol halo exchange between neighboring
              shards via ppermute, so frames crossing shard boundaries decode
              locally
+  receiver.py batched (offset x polarity) sync acquisition + the full
+             mesh-sharded streaming receiver built on stream.py
 """
 
 from .mesh import make_mesh, mesh_axis_sizes
+from .receiver import Acquisition, ReceiveResult, StreamReceiver, acquire
 from .stream import shard_stream_decode, stream_decode_reference
 from .sweep import SweepStats, make_sweep_step
 
 __all__ = [
+    "Acquisition",
+    "ReceiveResult",
+    "StreamReceiver",
     "SweepStats",
+    "acquire",
     "make_mesh",
     "make_sweep_step",
     "mesh_axis_sizes",

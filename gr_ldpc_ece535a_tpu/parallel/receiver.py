@@ -1,0 +1,191 @@
+"""Mesh-sharded streaming receiver: acquisition + time-block sharded decode.
+
+The scale-out counterpart of the host-side sync state machine in
+blocks/ldpc.py (behavioral spec: /root/reference/lib/ldpc_decoder_cb_impl.cc:
+147-226): acquisition finds the frame-grid phase and BPSK polarity once, on
+the stream head, by decoding every candidate (offset, polarity) as one
+batched device call in the reference's trial order (offset-major, normal
+before inverted — the slide-by-1 retry collapsed into a batch); the body of
+the stream then decodes fully sharded over the mesh's "stream" axis with
+halo exchange (stream.py). This is BASELINE.json config 5: the continuous
+transmitter->receiver chain on N hosts.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..codes import LdpcCode, get_code
+from ..ops import make_decoder, pack_bits_np, syndrome_weight
+from .mesh import make_mesh, mesh_axis_sizes
+from .stream import shard_stream_decode
+
+__all__ = ["Acquisition", "ReceiveResult", "StreamReceiver", "acquire"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Acquisition:
+    offset: int          # frame-grid phase in [0, N)
+    inverted: bool       # BPSK 180-degree ambiguity (Costas lock)
+    weight: int          # syndrome weight of the locking decode
+
+
+@dataclasses.dataclass
+class ReceiveResult:
+    data: bytes                  # packed data bytes of ACCEPTED frames, in order
+    acquisition: Optional[Acquisition]
+    n_frames: int                # complete frames after the lock point
+    accepted: np.ndarray         # (n_frames,) bool, syndrome <= threshold
+    weights: np.ndarray          # (n_frames,) syndrome weights
+
+
+def acquire(
+    stream: np.ndarray,
+    code: LdpcCode,
+    method: int | str = 0,
+    iterations: int = 5,
+    threshold: Optional[int] = None,
+    window: Optional[int] = None,
+    verify_frames: int = 4,
+    max_candidates: int = 32,
+) -> Optional[Acquisition]:
+    """Search (offset, polarity) over the head of a real-symbol stream.
+
+    Decodes all sliding windows x both polarities in one batched call and
+    walks the hits in the reference's trial order (offset-major, normal
+    polarity before inverted). Because a BP decoder happily converges
+    *misaligned* windows onto some codeword, a raw syndrome hit can be a
+    false lock — the reference handles that by locking anyway and falling
+    back out after 10 bad frames (lib/ldpc_decoder_cb_impl.cc:169-176); this
+    batched acquisition instead *verifies* each candidate against its next
+    ``verify_frames`` frames (one more batched decode) and accepts the first
+    candidate whose whole verification window passes. Returns None when no
+    candidate verifies.
+    """
+    N = code.N
+    threshold = code.M // 8 if threshold is None else threshold
+    head = np.asarray(stream, np.float32)
+    n_off = len(head) - N + 1
+    if window is not None:
+        n_off = min(n_off, window)
+    if n_off <= 0:
+        return None
+    frames = np.lib.stride_tricks.sliding_window_view(
+        head[: n_off + N - 1], N)[:n_off]
+    batch = np.concatenate([frames, -frames]).astype(np.float32)
+    dec = make_decoder(code, method=method, iterations=iterations, jit=False)
+
+    @jax.jit
+    def run(b):
+        vhat = dec(b)
+        return syndrome_weight(vhat, code.H)
+
+    w = np.asarray(run(jnp.asarray(batch)))
+    ok = w <= threshold
+    # trial order: offsets ascending, normal before inverted at each offset
+    candidates: list[tuple[int, bool, int]] = []
+    for o in np.nonzero(ok[:n_off] | ok[n_off:])[0]:
+        o = int(o)
+        if ok[o]:
+            candidates.append((o, False, int(w[o])))
+        if ok[n_off + o]:
+            candidates.append((o, True, int(w[n_off + o])))
+        if len(candidates) >= max_candidates:
+            break
+    if not candidates:
+        return None
+    if verify_frames <= 0:
+        o, inv, wt = candidates[0]
+        return Acquisition(offset=o, inverted=inv, weight=wt)
+    # verification pass: next verify_frames frames of every candidate in one
+    # batched decode (frames truncated to what the stream actually holds)
+    ver: list[np.ndarray] = []
+    counts: list[int] = []
+    for o, inv, _ in candidates:
+        avail = (len(head) - o) // N
+        k = min(verify_frames, max(0, avail - 1))
+        f = head[o + N : o + (k + 1) * N].reshape(k, N)
+        ver.append(-f if inv else f)
+        counts.append(k)
+    stacked = (np.concatenate(ver).astype(np.float32)
+               if any(counts) else np.zeros((0, N), np.float32))
+    wv = np.asarray(run(jnp.asarray(stacked))) if stacked.size else np.zeros(0)
+    pos = 0
+    for (o, inv, wt), k in zip(candidates, counts):
+        chunk = wv[pos : pos + k]
+        pos += k
+        if np.all(chunk <= threshold):
+            return Acquisition(offset=o, inverted=inv, weight=wt)
+    return None
+
+
+class StreamReceiver:
+    """Acquire once on the head, then decode the whole stream mesh-sharded.
+
+    Unlike the stateful per-frame walk of blocks/ldpc.py (which tolerates
+    mid-stream polarity flips), this receiver assumes one stable lock per
+    call — the continuous-pipeline regime of transmitter.grc/receiver.grc —
+    and buys full device-mesh parallelism for it.
+    """
+
+    def __init__(
+        self,
+        code: Optional[LdpcCode] = None,
+        mesh: Optional[Mesh] = None,
+        method: int | str = 0,
+        iterations: int = 5,
+        threshold: Optional[int] = None,
+        acquire_window: int = 1024,
+        stream_axis: str = "stream",
+    ) -> None:
+        self.code = code or get_code("block_32_64")
+        self.mesh = mesh or make_mesh((stream_axis,))
+        self.method = method
+        self.iterations = iterations
+        self.threshold = (self.code.M // 8 if threshold is None else threshold)
+        self.acquire_window = acquire_window
+        self.stream_axis = stream_axis
+        self._S = mesh_axis_sizes(self.mesh)[stream_axis]
+
+    def receive(self, symbols: np.ndarray) -> ReceiveResult:
+        """Decode a real-symbol stream (complex input: real part is taken)."""
+        code, N = self.code, self.code.N
+        reals = np.ascontiguousarray(
+            np.real(np.asarray(symbols)), np.float32)
+        acq = acquire(
+            reals, code,
+            method=self.method, iterations=self.iterations,
+            threshold=self.threshold, window=self.acquire_window)
+        if acq is None:
+            return ReceiveResult(
+                data=b"", acquisition=None, n_frames=0,
+                accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32))
+        if acq.inverted:
+            reals = -reals
+        # frames fully contained in the stream from the lock point
+        n_valid = (len(reals) - acq.offset) // N
+        # pad to a whole number of frame periods per shard (padding symbols
+        # only feed frames that are dropped below)
+        chunk = self._S * N
+        T_padded = ((len(reals) + chunk - 1) // chunk) * chunk
+        padded = np.zeros(T_padded, np.float32)
+        padded[: len(reals)] = reals
+        vhat, w = shard_stream_decode(
+            jnp.asarray(padded), code, self.mesh, method=self.method,
+            iterations=self.iterations, offset=acq.offset,
+            stream_axis=self.stream_axis)
+        vhat = np.asarray(vhat)[:n_valid]
+        w = np.asarray(w)[:n_valid]
+        accepted = w <= self.threshold
+        data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
+        payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
+                   if data_bits.size else b"")
+        return ReceiveResult(
+            data=payload, acquisition=acq, n_frames=int(n_valid),
+            accepted=accepted, weights=w.astype(np.int32))

@@ -129,3 +129,48 @@ def test_shard_stream_decode_validates_args(code):
         shard_stream_decode(jnp.zeros(100), code, mesh)  # not divisible
     with pytest.raises(ValueError):
         shard_stream_decode(jnp.zeros(8 * 64), code, mesh, offset=64)
+
+
+class TestStreamReceiver:
+    """Full acquisition + sharded decode (BASELINE config 5 regime)."""
+
+    def _make_stream(self, code, msg, offset, invert, noise, seed=9):
+        rng = np.random.default_rng(seed)
+        data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+        tx = np.asarray(encode_to_symbols(jnp.asarray(data), code)).reshape(-1)
+        stream = np.concatenate(
+            [rng.normal(0, 0.1, offset).astype(np.float32), tx])
+        stream = stream + rng.normal(0, noise, stream.shape).astype(np.float32)
+        return (-stream if invert else stream).astype(np.float32)
+
+    @pytest.mark.parametrize("offset,invert", [(0, False), (23, True)])
+    def test_receive_recovers_message(self, code, offset, invert):
+        from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+        msg = b"stream-parallel receive!" * 32  # 768 bytes = 192 frames
+        stream = self._make_stream(code, msg, offset, invert, noise=0.3)
+        rx = StreamReceiver(code=code, method=0, iterations=5,
+                            threshold=0, mesh=make_mesh(("stream",)))
+        res = rx.receive(stream)
+        assert res.acquisition is not None
+        assert res.acquisition.offset == offset
+        assert res.acquisition.inverted == invert
+        assert res.data.startswith(msg)  # trailing pad frames may append
+        assert res.n_frames >= len(msg) // 4
+
+    def test_receive_no_lock_on_noise(self, code):
+        from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+        rng = np.random.default_rng(0)
+        garbage = (np.sign(rng.standard_normal(4096)) * 10).astype(np.float32)
+        rx = StreamReceiver(code=code, threshold=0,
+                            mesh=make_mesh(("stream",)))
+        res = rx.receive(garbage)
+        assert res.acquisition is None
+        assert res.data == b""
+
+    def test_acquire_trial_order_prefers_normal(self, code):
+        """At the true offset, normal polarity must win over inverted."""
+        from gr_ldpc_ece535a_tpu.parallel import acquire
+        msg = b"\x12\x34\x56\x78" * 16
+        stream = self._make_stream(code, msg, 0, False, noise=0.0)
+        acq = acquire(stream, code, threshold=0)
+        assert acq is not None and acq.offset == 0 and not acq.inverted
