@@ -2,6 +2,7 @@
 
 from .base import Block, FlowGraph
 from .channel import AwgnBlock, ChannelModelBlock
+from .dsp import AgcBlock2, CostasLoopBlock, PulseShapeBlock, SymbolSyncBlock
 from .graphcfg import BLOCK_REGISTRY, load_flowgraph, run_flowgraph
 from .io import (
     DumpSink,
@@ -18,10 +19,14 @@ from .io import (
 from .ldpc import LdpcDecoderBlock, LdpcEncoderBlock
 
 __all__ = [
+    "AgcBlock2",
     "AwgnBlock",
     "BLOCK_REGISTRY",
     "Block",
     "ChannelModelBlock",
+    "CostasLoopBlock",
+    "PulseShapeBlock",
+    "SymbolSyncBlock",
     "DumpSink",
     "FileSink",
     "FileSource",

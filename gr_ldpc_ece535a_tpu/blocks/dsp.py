@@ -1,0 +1,154 @@
+"""Receiver-chain DSP stream blocks (the GR stock-block roles in
+example4/5/6.grc: pfb_arb_resampler+RRC, agc2, costas_loop, pfb_clock_sync).
+
+Filters run overlap-save (an L-1 input tail carries across work() chunks, so
+chunked output equals one-shot causal filtering); the feedback loops (AGC,
+Costas) carry their loop state (gain / phase+freq) across chunks, so the
+streaming result is sample-for-sample identical to processing the whole
+stream in one call.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dsp
+from .base import Block
+
+__all__ = ["PulseShapeBlock", "AgcBlock2", "CostasLoopBlock",
+           "SymbolSyncBlock"]
+
+
+class _OverlapSaveFir:
+    """Causal chunked FIR: emit convolve(concat(tail, x), taps, 'valid')."""
+
+    def __init__(self, taps: np.ndarray) -> None:
+        self.taps = np.asarray(taps, np.float32)
+        self._tail = np.zeros(len(self.taps) - 1, np.complex64)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        v = np.concatenate([self._tail, x.astype(np.complex64)])
+        L = len(self.taps)
+        if len(v) < L:
+            self._tail = v
+            return np.zeros(0, np.complex64)
+        y = np.asarray(jnp.convolve(jnp.asarray(v), jnp.asarray(self.taps),
+                                    mode="valid")).astype(np.complex64)
+        self._tail = v[len(v) - (L - 1):]
+        return y
+
+
+class PulseShapeBlock(Block):
+    """Zero-stuff to sps samples/symbol and RRC-shape (transmit side)."""
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "pulse_shape"
+
+    def __init__(self, sps: int = 2, excess_bw: float = 0.35,
+                 ntaps: int = 45) -> None:
+        super().__init__()
+        self.sps = int(sps)
+        self._fir = _OverlapSaveFir(dsp.rrc_taps(self.sps, excess_bw, ntaps))
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        up = np.zeros(n * self.sps, np.complex64)
+        up[:: self.sps] = np.asarray(data, np.complex64) * self.sps
+        return n, self._fir(up)
+
+
+class AgcBlock2(Block):
+    """agc2-equivalent automatic gain control (gain carried across chunks)."""
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "agc"
+
+    def __init__(self, rate: float = 1e-2, reference: float = 1.0) -> None:
+        super().__init__()
+        self.rate = float(rate)
+        self.reference = float(reference)
+        self.gain = 1.0
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        y, g = dsp.agc(jnp.asarray(np.asarray(data, np.complex64)),
+                       rate=self.rate, reference=self.reference,
+                       gain0=self.gain)
+        self.gain = float(g)
+        return n, np.asarray(y)
+
+
+class CostasLoopBlock(Block):
+    """2nd-order BPSK Costas loop (phase/freq carried across chunks)."""
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "costas_loop"
+
+    def __init__(self, loop_bw: float = 6.28 / 100.0) -> None:
+        super().__init__()
+        self.loop_bw = float(loop_bw)
+        self.phase = 0.0
+        self.freq = 0.0
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        y, (p, f) = dsp.costas_loop(
+            jnp.asarray(np.asarray(data, np.complex64)),
+            loop_bw=self.loop_bw, phase0=self.phase, freq0=self.freq)
+        self.phase, self.freq = float(p), float(f)
+        return n, np.asarray(y)
+
+
+class SymbolSyncBlock(Block):
+    """Matched filter + integer-phase downsampling (timing recovery for
+    channels without fractional timing drift). The polyphase branch is chosen
+    once from the first ``lock_samples`` filtered samples and then held."""
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "symbol_sync"
+
+    def __init__(self, sps: int = 2, excess_bw: float = 0.35,
+                 ntaps: int = 45, lock_samples: int = 2048) -> None:
+        super().__init__()
+        self.sps = int(sps)
+        self._fir = _OverlapSaveFir(dsp.rrc_taps(self.sps, excess_bw, ntaps))
+        self._lock_samples = lock_samples
+        self._lockbuf = np.zeros(0, np.complex64)
+        self.phase: Optional[int] = None
+        self._rem = np.zeros(0, np.complex64)  # sps-alignment remainder
+
+    def _pick_phase(self, mf: np.ndarray) -> int:
+        n = (len(mf) // self.sps) * self.sps
+        br = mf[:n].reshape(-1, self.sps)
+        return int(np.argmax(np.mean(np.abs(br) ** 2, axis=0)))
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        mf = self._fir(np.asarray(data, np.complex64))
+        if self.phase is None:
+            self._lockbuf = np.concatenate([self._lockbuf, mf])
+            if len(self._lockbuf) < self._lock_samples:
+                return n, None  # still acquiring timing
+            self.phase = self._pick_phase(self._lockbuf)
+            mf, self._lockbuf = self._lockbuf, np.zeros(0, np.complex64)
+        v = np.concatenate([self._rem, mf])
+        take = (len(v) // self.sps) * self.sps
+        self._rem = v[take:]
+        if take == 0:
+            return n, None
+        return n, v[:take].reshape(-1, self.sps)[:, self.phase].copy()

@@ -27,6 +27,7 @@ from typing import Any
 import numpy as np
 
 from . import channel as _channel
+from . import dsp as _dsp
 from . import io as _io
 from . import ldpc as _ldpc
 from .base import Block, FlowGraph
@@ -52,6 +53,10 @@ BLOCK_REGISTRY: dict[str, type[Block]] = {
     "image_sink": _io.ImageSink,
     "channel_model": _channel.ChannelModelBlock,
     "awgn": _channel.AwgnBlock,
+    "pulse_shape": _dsp.PulseShapeBlock,
+    "agc": _dsp.AgcBlock2,
+    "costas_loop": _dsp.CostasLoopBlock,
+    "symbol_sync": _dsp.SymbolSyncBlock,
     "ldpc_encoder": _ldpc.LdpcEncoderBlock,
     "ldpc_decoder": _ldpc.LdpcDecoderBlock,
 }
