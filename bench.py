@@ -1,11 +1,27 @@
 """North-star benchmark: decoded info bits/s/chip, 20 BP iterations.
 
-Measures the sum-product decoder (the reference method the metric targets,
-/root/reference/lib/ldpc_decoder_cb_impl.cc:478-557) on the reference 32x64
-code at a fixed 20 iterations over a large resident batch — the BASELINE.json
-configuration ">=1e9 decoded info bits/s per v5e chip". Input frames are
-generated on device (encode + AWGN) and stay on device; only the timing
-scalar returns to host.
+Measures the belief-propagation decoders (min-sum = the reference's default
+method 0, /root/reference/lib/ldpc_decoder_cb_impl.cc:309; sum-product =
+method 1, :478) on the reference 32x64 code at a fixed 20 iterations over a
+large resident batch — the BASELINE.json configuration ">=1e9 decoded info
+bits/s per v5e chip at 20 BP iterations". Input frames are generated on
+device (encode + AWGN) and stay on device.
+
+Timing methodology (IMPORTANT): on the axon-tunneled TPU platform,
+``jax.block_until_ready`` returns once the dispatch is acknowledged, NOT when
+the computation finishes — naive timing measures dispatch latency and
+over-reports throughput by orders of magnitude (measured: a 4096^3 bf16
+matmul "completing" at 1358 TFLOP/s on a 197 TFLOP/s chip). This harness
+therefore times K data-dependent chained decodes inside one jitted
+``fori_loop`` and fetches a scalar reduction to host (a true sync point),
+then takes the SLOPE between two chain lengths so the fixed ~23 ms tunnel
+round-trip latency cancels:
+
+    t_per_decode = (t(k2 chained) - t(k1 chained)) / (k2 - k1)
+
+The chain's data dependency is a +1e-30 * sum(vhat) perturbation of rx —
+exactly 0 after f32 rounding (rx values are O(1)), so every link decodes the
+identical problem, but XLA cannot hoist the decode out of the loop.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -31,23 +47,49 @@ def _make_inputs(code, batch, key):
     return awgn(kn, tx, ebn0_db=4.0)
 
 
-def _time_fn(fn, rx, reps=6, inner=1):
-    out = fn(rx)
-    jax.block_until_ready(out)  # warmup / compile
+def _chained(decode_fn, k: int):
+    """k data-dependent decodes of the same rx; returns a scalar."""
+
+    def run(rx):
+        def body(_i, carry):
+            rx, acc = carry
+            vhat = decode_fn(rx)
+            s = jnp.sum(vhat.astype(jnp.int32))
+            # scalar feedback: 1e-30 * s rounds to +0 against O(1) symbols,
+            # but forms a true data dependency between links
+            rx = rx + jnp.float32(1e-30) * s.astype(jnp.float32)
+            return rx, acc + s
+
+        _, acc = jax.lax.fori_loop(0, k, body, (rx, jnp.int32(0)))
+        return acc
+
+    return jax.jit(run)
+
+
+def _fetch_time(fn, rx, reps):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(inner):
-            out = fn(rx)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / inner)
+        np.asarray(fn(rx))  # host fetch = true synchronization
+        best = min(best, time.perf_counter() - t0)
     return best
+
+
+def time_decode(decode_fn, rx, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
+    """Seconds per decode call, tunnel-latency-cancelled (slope method)."""
+    f1, f2 = _chained(decode_fn, k1), _chained(decode_fn, k2)
+    np.asarray(f1(rx))  # compile + warm
+    np.asarray(f2(rx))
+    t1 = _fetch_time(f1, rx, reps)
+    t2 = _fetch_time(f2, rx, reps)
+    return max((t2 - t1) / (k2 - k1), 1e-12)
 
 
 def main() -> None:
     from gr_ldpc_ece535a_tpu.codes import get_code
-    from gr_ldpc_ece535a_tpu.ops import decode_sumproduct
-    from gr_ldpc_ece535a_tpu.ops.pallas_bp import pallas_decode_sumproduct
+    from gr_ldpc_ece535a_tpu.ops import decode_minsum, decode_sumproduct
+    from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
+        pallas_decode_minsum, pallas_decode_sumproduct)
 
     code = get_code("block_32_64")
     iterations = 20
@@ -56,45 +98,44 @@ def main() -> None:
     rx = _make_inputs(code, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(rx)
 
-    results = {}
-    # Pallas VMEM-resident kernel (the production path on TPU); block_b=2048
-    # autotuned on v5e (block sweep: 256:40G 512:30G 1024:44G 2048:53G)
-    try:
-        fn = jax.jit(lambda r: pallas_decode_sumproduct(
-            r, code, iterations=iterations, block_b=2048))
-        results["pallas"] = _time_fn(fn, rx)
-    except Exception as e:  # noqa: BLE001 - fall back off-TPU
-        results["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
-    # XLA reference path (fixed-iteration variant)
-    fn_x = jax.jit(lambda r: decode_sumproduct(
-        r, code, iterations=iterations, early_exit=False))
-    results["xla"] = _time_fn(fn_x, rx)
-    # secondary: min-sum (the reference's default method 0) on the same frames
-    try:
-        from gr_ldpc_ece535a_tpu.ops.pallas_bp import pallas_decode_minsum
-        fn_m = jax.jit(lambda r: pallas_decode_minsum(
-            r, code, iterations=iterations, block_b=2048))
-        results["pallas_minsum"] = _time_fn(fn_m, rx)
-    except Exception:  # noqa: BLE001
-        pass
+    paths = {}
+    errors = {}
+    # Pallas VMEM-resident kernels (the production path on TPU)
+    for name, fn in (
+        ("pallas_minsum", lambda r: pallas_decode_minsum(
+            r, code, iterations=iterations)),
+        ("pallas_sumproduct", lambda r: pallas_decode_sumproduct(
+            r, code, iterations=iterations)),
+    ):
+        try:
+            paths[name] = time_decode(fn, rx)
+        except Exception as e:  # noqa: BLE001 - fall back off-TPU
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+    # XLA reference paths (fixed-iteration variants)
+    paths["xla_minsum"] = time_decode(
+        lambda r: decode_minsum(r, code, iterations=iterations,
+                                early_exit=False), rx)
+    paths["xla_sumproduct"] = time_decode(
+        lambda r: decode_sumproduct(r, code, iterations=iterations,
+                                    early_exit=False), rx)
 
-    times = {k: v for k, v in results.items() if isinstance(v, float)}
-    # headline metric is the sum-product decoder; minsum reported as an extra
-    sp_times = {k: v for k, v in times.items() if k in ("pallas", "xla")}
-    best_name = min(sp_times, key=sp_times.get)
-    secs = sp_times[best_name]
-    value = batch * code.K / secs
+    bits = {k: batch * code.K / v for k, v in paths.items()}
+    # headline: fastest BP decode path (min-sum is the reference's default
+    # method 0); sum-product reported alongside
+    best_name = max(bits, key=bits.get)
+    value = bits[best_name]
+    sp_bits = {k: v for k, v in bits.items() if "sumproduct" in k}
     print(json.dumps({
-        "metric": "decoded_info_bits_per_s_per_chip_20it_sumproduct",
+        "metric": "decoded_info_bits_per_s_per_chip_20bp_iters",
         "value": value,
         "unit": "bits/s",
         "vs_baseline": value / BASELINE,
         "backend": platform,
         "best_path": best_name,
         "batch": batch,
-        "all_paths_bits_per_s": {k: batch * code.K / v for k, v in times.items()},
-        **({"pallas_error": results["pallas_error"]}
-           if "pallas_error" in results else {}),
+        "best_sumproduct_bits_per_s": max(sp_bits.values()),
+        "all_paths_bits_per_s": bits,
+        **({"errors": errors} if errors else {}),
     }))
 
 
