@@ -36,15 +36,20 @@ class ChannelModelBlock(Block):
         if n == 0:
             return 0, None
         self._key, sub = jax.random.split(self._key)
-        x = jnp.asarray(np.asarray(data, np.complex64))
-        kr, ki = jax.random.split(sub)
-        noise = (jax.random.normal(kr, (n,), jnp.float32)
-                 + 1j * jax.random.normal(ki, (n,), jnp.float32))
-        noise = noise * (self.noise_voltage / np.sqrt(2.0))
-        t = (self._t + jnp.arange(n, dtype=jnp.float32))
-        rot = jnp.exp(1j * (2 * np.pi * self.freq_offset * t + self.phase_offset))
+        # per-chunk host-side compute (see blocks/dsp.py::_cpu rationale:
+        # streaming chunks are latency-bound, and some TPU backends lack
+        # complex-exp lowerings)
+        with jax.default_device(jax.devices("cpu")[0]):
+            x = jnp.asarray(np.asarray(data, np.complex64))
+            kr, ki = jax.random.split(sub)
+            noise = (jax.random.normal(kr, (n,), jnp.float32)
+                     + 1j * jax.random.normal(ki, (n,), jnp.float32))
+            noise = noise * (self.noise_voltage / np.sqrt(2.0))
+            t = (self._t + jnp.arange(n, dtype=jnp.float32))
+            rot = jnp.exp(
+                1j * (2 * np.pi * self.freq_offset * t + self.phase_offset))
+            out = x * rot.astype(jnp.complex64) + noise.astype(jnp.complex64)
         self._t += n
-        out = x * rot.astype(jnp.complex64) + noise.astype(jnp.complex64)
         return n, np.asarray(out)
 
 

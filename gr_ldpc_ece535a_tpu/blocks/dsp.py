@@ -12,14 +12,47 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dsp
 from .base import Block
 
-__all__ = ["PulseShapeBlock", "AgcBlock2", "CostasLoopBlock",
+
+def _cpu():
+    """Pin a streaming chunk's compute to the host CPU device.
+
+    These blocks process modest sequential chunks with loop state carried in
+    Python; dispatching each chunk to a (possibly remote/tunneled) TPU adds
+    round-trip latency per chunk and some backends lack complex convolve
+    lowerings. The batched device DSP for mesh receivers is ops/dsp.py.
+    """
+    return jax.default_device(jax.devices("cpu")[0])
+
+__all__ = ["BpskModBlock", "PulseShapeBlock", "AgcBlock2", "CostasLoopBlock",
            "SymbolSyncBlock"]
+
+
+class BpskModBlock(Block):
+    """Uncoded BPSK mapper: bytes -> 8 complex +-1 symbols, MSB first.
+
+    The digital_psk_mod role in the reference's LDPC-free sync prototypes
+    (/root/reference/examples/example2.grc, example3.grc); bit 1 -> +1
+    matches the encoder's convention (lib/ldpc_encoder_bc_impl.cc:154-165).
+    Chain with ``pulse_shape`` for the mod block's RRC/sps stage.
+    """
+
+    in_dtype = np.uint8
+    out_dtype = np.complex64
+    name = "bpsk_mod"
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        bits = np.unpackbits(np.asarray(data, np.uint8))
+        return n, (2.0 * bits - 1.0).astype(np.complex64)
 
 
 class _OverlapSaveFir:
@@ -35,8 +68,9 @@ class _OverlapSaveFir:
         if len(v) < L:
             self._tail = v
             return np.zeros(0, np.complex64)
-        y = np.asarray(jnp.convolve(jnp.asarray(v), jnp.asarray(self.taps),
-                                    mode="valid")).astype(np.complex64)
+        with _cpu():
+            y = np.asarray(jnp.convolve(jnp.asarray(v), jnp.asarray(self.taps),
+                                        mode="valid")).astype(np.complex64)
         self._tail = v[len(v) - (L - 1):]
         return y
 
@@ -80,9 +114,10 @@ class AgcBlock2(Block):
         n = len(data)
         if n == 0:
             return 0, None
-        y, g = dsp.agc(jnp.asarray(np.asarray(data, np.complex64)),
-                       rate=self.rate, reference=self.reference,
-                       gain0=self.gain)
+        with _cpu():
+            y, g = dsp.agc(jnp.asarray(np.asarray(data, np.complex64)),
+                           rate=self.rate, reference=self.reference,
+                           gain0=self.gain)
         self.gain = float(g)
         return n, np.asarray(y)
 
@@ -104,9 +139,10 @@ class CostasLoopBlock(Block):
         n = len(data)
         if n == 0:
             return 0, None
-        y, (p, f) = dsp.costas_loop(
-            jnp.asarray(np.asarray(data, np.complex64)),
-            loop_bw=self.loop_bw, phase0=self.phase, freq0=self.freq)
+        with _cpu():
+            y, (p, f) = dsp.costas_loop(
+                jnp.asarray(np.asarray(data, np.complex64)),
+                loop_bw=self.loop_bw, phase0=self.phase, freq0=self.freq)
         self.phase, self.freq = float(p), float(f)
         return n, np.asarray(y)
 

@@ -53,6 +53,7 @@ BLOCK_REGISTRY: dict[str, type[Block]] = {
     "image_sink": _io.ImageSink,
     "channel_model": _channel.ChannelModelBlock,
     "awgn": _channel.AwgnBlock,
+    "bpsk_mod": _dsp.BpskModBlock,
     "pulse_shape": _dsp.PulseShapeBlock,
     "agc": _dsp.AgcBlock2,
     "costas_loop": _dsp.CostasLoopBlock,

@@ -11,7 +11,27 @@ import contextlib
 import time
 from typing import Iterator, Optional
 
-__all__ = ["Timer", "ThroughputMeter", "trace"]
+__all__ = ["Timer", "ThroughputMeter", "device_sync", "trace"]
+
+
+def device_sync(x):
+    """True device synchronization for timing: fetch a scalar to host.
+
+    On tunneled/experimental platforms ``jax.block_until_ready`` can return
+    at dispatch acknowledgement rather than completion (observed on the axon
+    TPU tunnel: a 4096^3 matmul "finished" at 7x the chip's peak FLOP rate),
+    silently turning wall-clock measurements into dispatch-latency
+    measurements. Fetching any device value to host is a hard sync point on
+    every backend. Returns ``x`` unchanged. See bench.py for the
+    chained-slope methodology that also cancels the fetch round-trip.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves(x)
+    if leaves:
+        np.asarray(jax.numpy.ravel(leaves[0])[0])
+    return x
 
 
 class Timer:

@@ -99,3 +99,43 @@ blocks:
 connections:
   - [src, dec]
 """))
+
+
+def test_shipped_example_flowgraphs_load():
+    """Every examples/*.yaml must at least construct (registry/param parity
+    with the reference's grc/ descriptors + examples)."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "examples"
+    paths = sorted(root.glob("*.yaml"))
+    assert len(paths) >= 8
+    # receiver.yaml sources the symbol file the transmitter run records;
+    # provide a stand-in so its FileSource can open it
+    link = Path("/tmp/ldpc_link.c64")
+    if not link.exists():
+        np.zeros(64, np.complex64).tofile(link)
+    for p in paths:
+        fg, blocks = load_flowgraph(p)
+        assert blocks, p.name
+
+
+def test_example2_example3_bpsk_prototypes_run():
+    """The LDPC-free sync prototypes (reference example2/3.grc equivalents)
+    stream end-to-end and recover BPSK symbols after the sync chain."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "examples"
+    for name in ("example2.yaml", "example3.yaml"):
+        blocks = run_flowgraph(root / name)
+        syms = blocks["sink"].data()
+        assert len(syms) > 3000  # 512 bytes -> 4096 symbols minus sync tails
+        # after AGC+carrier recovery the constellation clusters on the real
+        # axis (up to the BPSK 180-degree ambiguity); absolute scale depends
+        # on the AGC's average over the sps=2 stream, so normalize first
+        settled = syms[len(syms) // 2:]
+        scale = np.mean(np.abs(settled.real))
+        assert scale > 0.05, name
+        s = settled.real / scale
+        assert np.mean(np.abs(np.abs(s) - 1.0) < 0.5) > 0.9, name
+        # energy concentrated in-phase, not quadrature
+        assert np.mean(settled.real ** 2) > 5 * np.mean(settled.imag ** 2), name
