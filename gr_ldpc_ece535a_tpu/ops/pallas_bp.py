@@ -254,9 +254,30 @@ def _make_mm(precise: bool):
     return mm, mmT
 
 
+def _pad_done(n_valid: int, Bt: int):
+    """Initial done mask: 1.0 on batch-padding columns (global index >=
+    n_valid) so all-zero pad frames can't stall the convergence loop (an
+    all-zero rx decodes to all-ones under the SPA's <=0 rule, which never
+    satisfies odd-weight checks)."""
+    col = (pl.program_id(0) * Bt
+           + jax.lax.broadcasted_iota(jnp.int32, (1, Bt), 1))
+    return (col >= n_valid).astype(jnp.float32)
+
+
+def _unsat(Hf, vhat_f):
+    """Unsatisfied-check count per frame: sum(H @ vhat mod 2). (1, Bt).
+
+    vhat entries are 0/1 and row weights <= 8, so the bf16 MXU pass is
+    exact (small integers).
+    """
+    s = jnp.dot(Hf, vhat_f, preferred_element_type=jnp.float32)  # (M, Bt)
+    p = s - 2.0 * jnp.floor(s * 0.5)
+    return jnp.sum(p, axis=0, keepdims=True)
+
+
 def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
-                            precise: bool,
-                            rx_ref, bcm_ref, padbig_ref, out_ref):
+                            precise: bool, early_exit: bool, n_valid: int,
+                            rx_ref, bcm_ref, padbig_ref, h_ref, out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
     mm, mmT = _make_mm(precise)
@@ -268,8 +289,7 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 
     Mmsg0 = mmT(bcm, r) + padbig
 
-    def body(_i, carry):
-        Mmsg, _L = carry
+    def step(Mmsg):
         t = Mmsg.reshape(Wr, M, Bt)
         sg = jnp.where(t < 0, -1.0, 1.0)
         # w = log tanh(|t|/2) = -phi(|t|) <= 0; pads: log tanh(1e30) = 0.
@@ -285,13 +305,40 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         Mnew = (mmT(bcm, L - r) + padbig) - Em
         return Mnew, L
 
-    _, L = jax.lax.fori_loop(0, iterations, body, (Mmsg0, r))
+    if not early_exit:
+        def body(_i, carry):
+            Mmsg, _L = carry
+            return step(Mmsg)
+        _, L = jax.lax.fori_loop(0, iterations, body, (Mmsg0, r))
+        out_ref[:] = (L <= 0).astype(jnp.int8)
+        return
+
+    # early exit: the reference checks the syndrome EVERY iteration, before
+    # the bit-message update, with no iteration guard
+    # (lib/ldpc_decoder_cb_impl.cc:534-537); converged frames freeze
+    Hf = h_ref[:]                           # (M, N)
+
+    def cond(carry):
+        i, _Mmsg, _L, done = carry
+        return jnp.logical_and(i < iterations, jnp.min(done) < 1.0)
+
+    def wbody(carry):
+        i, Mmsg, L, done = carry
+        Mnew, Lnew = step(Mmsg)
+        L = jnp.where(done > 0, L, Lnew)
+        vhat_f = (Lnew <= 0).astype(jnp.float32)
+        done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
+        Mmsg = jnp.where(done > 0, Mmsg, Mnew)
+        return i + 1, Mmsg, L, done
+
+    _, _, L, _ = jax.lax.while_loop(
+        cond, wbody, (0, Mmsg0, r, _pad_done(n_valid, Bt)))
     out_ref[:] = (L <= 0).astype(jnp.int8)
 
 
 def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
-                        precise: bool,
-                        rx_ref, bcm_ref, padbig_ref, out_ref):
+                        precise: bool, early_exit: bool, n_valid: int,
+                        rx_ref, bcm_ref, padbig_ref, h_ref, out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
     big = jnp.float32(np.finfo(np.float32).max)
@@ -303,8 +350,7 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
     Lq0 = mmT(bcm, Lci) + padbig
     ii = jax.lax.broadcasted_iota(jnp.int32, (Wr, M, Bt), 0)
 
-    def body(_i, carry):
-        Lq, _LQ = carry
+    def step(Lq):
         t = Lq.reshape(Wr, M, Bt)
         beta = jnp.abs(t)                   # pads: 1e30
         sg = jnp.where(t < 0, -1.0, 1.0)
@@ -321,7 +367,34 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         Lq_new = (mmT(bcm, LQ) + padbig) - Lr
         return Lq_new, LQ
 
-    _, LQ = jax.lax.fori_loop(0, iterations, body, (Lq0, Lci))
+    if not early_exit:
+        def body(_i, carry):
+            Lq, _LQ = carry
+            return step(Lq)
+        _, LQ = jax.lax.fori_loop(0, iterations, body, (Lq0, Lci))
+        out_ref[:] = (LQ < 0).astype(jnp.int8)
+        return
+
+    # early exit: per-frame freeze on syndrome success (the reference breaks
+    # out of the iteration loop, lib/ldpc_decoder_cb_impl.cc:405-408; the
+    # batched equivalent freezes converged frames, as in ops/decode.py)
+    Hf = h_ref[:]                           # (M, N)
+
+    def cond(carry):
+        i, _Lq, _LQ, done = carry
+        return jnp.logical_and(i < iterations, jnp.min(done) < 1.0)
+
+    def wbody(carry):
+        i, Lq, LQ, done = carry
+        Lq_new, LQ_new = step(Lq)
+        Lq = jnp.where(done > 0, Lq, Lq_new)
+        LQ = jnp.where(done > 0, LQ, LQ_new)
+        vhat_f = (LQ_new < 0).astype(jnp.float32)
+        done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
+        return i + 1, Lq, LQ, done
+
+    _, _, LQ, _ = jax.lax.while_loop(
+        cond, wbody, (0, Lq0, Lci, _pad_done(n_valid, Bt)))
     out_ref[:] = (LQ < 0).astype(jnp.int8)
 
 
@@ -352,19 +425,25 @@ def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
     bcm = jnp.asarray(lay.B_cm, jnp.float32)                  # (N, E)
     aux = jnp.asarray(lay.chk_mask.reshape(E, 1), jnp.float32)
     return _launch(functools.partial(kernel_body, iterations, M, Wr, N),
-                   rx, N, E, bcm, aux, block_b, interpret)
+                   rx, N, [(bcm, (N, E)), (aux, (E, 1))], block_b, interpret)
 
 
-def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise):
+def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise,
+              early_exit):
     bcm_np, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
+    B = rx.shape[0]
+    Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
     return _launch(
-        functools.partial(kernel_body, iterations, code.M, Wr, N, precise),
-        rx, N, E, jnp.asarray(bcm_np), jnp.asarray(padbig_np),
+        functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
+                          early_exit, B),
+        rx, N,
+        [(jnp.asarray(bcm_np), (N, E)), (jnp.asarray(padbig_np), (E, 1)),
+         (Hf, (code.M, N))],
         block_b, interpret)
 
 
-def _launch(kernel, rx, N, E, bcm, aux, block_b, interpret):
+def _launch(kernel, rx, N, consts, block_b, interpret):
     B = rx.shape[0]
     Bp = max(block_b, ((B + block_b - 1) // block_b) * block_b)
     rx_t = jnp.zeros((N, Bp), jnp.float32).at[:, :B].set(
@@ -375,14 +454,15 @@ def _launch(kernel, rx, N, E, bcm, aux, block_b, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((N, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, E), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for _, shape in consts
         ],
         out_specs=pl.BlockSpec((N, block_b), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int8),
         interpret=interpret,
-    )(rx_t, bcm, aux)
+    )(rx_t, *[arr for arr, _ in consts])
     return out[:, :B].T  # (B, N) int8
 
 
@@ -390,33 +470,47 @@ _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 2560}
 
 
 def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
-              interpret, mode):
+              interpret, mode, early_exit):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
     bb = block_b or _MODE_BLOCKS[mode]
     if mode == "exact":
+        if early_exit:
+            raise NotImplementedError(
+                "early_exit requires mode='precise' or 'fast'")
         return _run_exact(exact_kernel, rx, code, iterations, bb, interpret)
     return _run_fast(fast_kernel, rx, code, iterations, bb, interpret,
-                     precise=(mode == "precise"))
+                     precise=(mode == "precise"), early_exit=early_exit)
 
 
 def pallas_decode_minsum(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
     block_b: int | None = None, interpret: bool = False, mode: str = "exact",
+    early_exit: bool = False,
 ) -> jax.Array:
-    """VMEM-resident fixed-iteration min-sum decode. rx (B, N) -> vhat (B, N).
+    """VMEM-resident min-sum decode. rx (B, N) -> vhat (B, N).
 
     mode: "exact" (jnp-f32-identical), "precise" (hi/lo aggregation),
     "fast" (bf16 aggregation, max throughput). See module docstring.
+    early_exit=True (fast/precise only) runs a while_loop that freezes
+    converged frames on syndrome success and stops a tile once every frame
+    converged — the on-device analog of the reference's iteration break
+    (lib/ldpc_decoder_cb_impl.cc:405-408), matching ops/decode.py's batched
+    freezing semantics.
     """
     return _dispatch(_minsum_exact_kernel, _minsum_fast_kernel,
-                     rx, code, iterations, block_b, interpret, mode)
+                     rx, code, iterations, block_b, interpret, mode,
+                     early_exit)
 
 
 def pallas_decode_sumproduct(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
     block_b: int | None = None, interpret: bool = False, mode: str = "exact",
+    early_exit: bool = False,
 ) -> jax.Array:
-    """VMEM-resident fixed-iteration tanh-rule SPA decode. See module doc."""
+    """VMEM-resident tanh-rule SPA decode. See pallas_decode_minsum; the
+    early-exit syndrome check runs every iteration with no guard, matching
+    the reference (lib/ldpc_decoder_cb_impl.cc:534-537)."""
     return _dispatch(_sumproduct_exact_kernel, _sumproduct_fast_kernel,
-                     rx, code, iterations, block_b, interpret, mode)
+                     rx, code, iterations, block_b, interpret, mode,
+                     early_exit)

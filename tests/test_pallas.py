@@ -107,3 +107,34 @@ def test_pallas_zero_input_sign_convention():
     vj = np.asarray(decode_minsum(
         jnp.asarray(rx), code, iterations=5, early_exit=False, dtype=jnp.float32))
     assert np.array_equal(vp, vj)
+
+
+@pytest.mark.parametrize("mode", ["precise", "fast"])
+@pytest.mark.parametrize("kind", ["minsum", "sumproduct"])
+@pytest.mark.parametrize("iters", [1, 5])
+def test_pallas_early_exit_matches_xla_freezing(mode, kind, iters):
+    """early_exit=True must reproduce ops/decode.py's batched freezing
+    semantics (converged frames keep the decision from their converging
+    iteration; the SPA checks every iteration, min-sum guards the last)."""
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    import jax
+
+    code = get_code("block_32_64")
+    pall = pallas_decode_minsum if kind == "minsum" else pallas_decode_sumproduct
+    ref = decode_minsum if kind == "minsum" else decode_sumproduct
+    kd, kn = jax.random.split(jax.random.PRNGKey(11))
+    d = jax.random.bernoulli(kd, 0.5, (300, code.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, code)), ebn0_db=4.0)
+    ve = np.asarray(pall(rx, code, iterations=iters, block_b=128,
+                         interpret=True, mode=mode, early_exit=True))
+    vj = np.asarray(ref(rx, code, iterations=iters, early_exit=True))
+    agree = (ve == vj).all(axis=1).mean()
+    assert agree >= 0.99, (mode, kind, iters, agree)
+
+
+def test_pallas_early_exit_rejects_exact_mode():
+    code = get_code("block_32_64")
+    rx = jnp.zeros((4, 64), jnp.float32)
+    with pytest.raises(NotImplementedError):
+        pallas_decode_minsum(rx, code, iterations=5, interpret=True,
+                             mode="exact", early_exit=True)
