@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--png", default=None, help="write waterfall plot PNG here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
+    ap.add_argument("--backend", default="auto",
+                    choices=("auto", "xla", "pallas"),
+                    help="decoder backend: pallas = VMEM-resident precise "
+                         "kernels (BP methods, TPU); auto picks per platform")
     args = ap.parse_args()
 
     if args.cpu:
@@ -56,7 +60,7 @@ def main() -> None:
         frames_per_point=args.frames_per_point,
         iterations=args.iterations,
         methods=tuple(args.methods.split(",")),
-        seed=args.seed, progress=True)
+        seed=args.seed, progress=True, backend=args.backend)
     print(res.to_table())
     print(f"# {res.frames_per_point} frames/point, wall {res.wall_s:.1f}s")
     if args.octave:

@@ -467,13 +467,26 @@ def _launch(kernel, rx, N, consts, block_b, interpret):
 
 
 _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 2560}
+_REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
+                  # were tuned on; VMEM footprint scales with E * block_b
+
+
+def _auto_block(mode: str, E: int) -> int:
+    scaled = (_MODE_BLOCKS[mode] * _REF_SLOTS) // max(E, 1)
+    return max(256, (scaled // 256) * 256)
 
 
 def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
               interpret, mode, early_exit):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
-    bb = block_b or _MODE_BLOCKS[mode]
+    if block_b:
+        bb = block_b
+    else:
+        H = code.H
+        Wr = int(H.sum(1).max())
+        E = Wr * code.M
+        bb = _auto_block(mode, E)
     if mode == "exact":
         if early_exit:
             raise NotImplementedError(

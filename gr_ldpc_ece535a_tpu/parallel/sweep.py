@@ -43,6 +43,20 @@ class SweepStats(NamedTuple):
     n_bits: jax.Array
 
 
+def _pallas_sweep_decoder(code, method, iterations, early_exit):
+    """Pallas 'precise' decoder for the BP methods, or None if not covered."""
+    from ..ops.decode import METHODS
+    from ..ops.pallas_bp import pallas_decode_minsum, pallas_decode_sumproduct
+
+    name = METHODS[method] if isinstance(method, int) else method
+    fn = {"minsum": pallas_decode_minsum,
+          "sumproduct": pallas_decode_sumproduct}.get(name)
+    if fn is None:
+        return None
+    return lambda rx: fn(rx, code, iterations=iterations, mode="precise",
+                         early_exit=early_exit)
+
+
 def make_sweep_step(
     code: LdpcCode,
     mesh: Mesh,
@@ -52,14 +66,27 @@ def make_sweep_step(
     early_exit: bool = True,
     batch_axis: str = "batch",
     decode_fn: Callable[[jax.Array], jax.Array] | None = None,
+    backend: str = "auto",
 ) -> Callable[[jax.Array, jax.Array], SweepStats]:
     """Build the jitted sharded step: (key, ebn0_db) -> SweepStats.
 
     ``key`` and ``ebn0_db`` are replicated inputs; all heavy arrays live and
     die on-device inside the step (nothing but six scalars returns to host).
-    ``decode_fn`` overrides the decoder (e.g. a Pallas kernel); default is the
-    XLA decoder for ``method``.
+    ``decode_fn`` overrides the decoder; otherwise ``backend`` picks it:
+    "xla" = the jnp decoder (bit-exactness path, any platform); "pallas" =
+    the VMEM-resident precise kernel (BP methods only); "auto" = pallas on
+    TPU meshes for the BP methods, xla otherwise (~15x faster sweeps on
+    TPU at matched hard decisions — see ops/pallas_bp.py mode notes).
     """
+    if decode_fn is None and backend != "xla":
+        on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+        if backend == "pallas" or (backend == "auto" and on_tpu):
+            decode_fn = _pallas_sweep_decoder(code, method, iterations,
+                                              early_exit)
+            if decode_fn is None and backend == "pallas":
+                raise ValueError(
+                    f"backend='pallas' supports minsum/sumproduct, "
+                    f"not method {method!r}")
     dec = decode_fn or make_decoder(
         code, method=method, iterations=iterations, early_exit=early_exit,
         jit=False)

@@ -27,6 +27,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..codes import LdpcCode, get_code
@@ -136,6 +137,8 @@ def run_waterfall(
     seed: int = 0,
     early_exit: bool = True,
     progress: bool = False,
+    backend: str = "auto",
+    frames_per_step: int = 1 << 17,
 ) -> WaterfallResult:
     """Run the sweep. Defaults mirror the reference experiment: the (100,50)
     code, 35 points -7..10 dB step 0.5 (ldpc_lapack.cpp:543), 5 iterations —
@@ -147,12 +150,17 @@ def run_waterfall(
     ebn0_db = np.asarray(ebn0_db, np.float64)
     mesh = mesh or make_mesh(("batch",))
     n_dev = mesh_axis_sizes(mesh)["batch"]
-    fpd = max(1, math.ceil(frames_per_point / n_dev))
-    actual_fpp = fpd * n_dev
+    # split each point into device-sized steps so arbitrarily large
+    # frames_per_point (e.g. the 10^7-codewords-per-point configuration)
+    # never allocates more than frames_per_step frames at once
+    n_steps = max(1, math.ceil(frames_per_point / (frames_per_step * n_dev)))
+    fpd = max(1, math.ceil(frames_per_point / (n_dev * n_steps)))
+    actual_fpp = fpd * n_dev * n_steps
 
     steps = {
         m: make_sweep_step(code, mesh, method=m, iterations=iterations,
-                           frames_per_device=fpd, early_exit=early_exit)
+                           frames_per_device=fpd, early_exit=early_exit,
+                           backend=backend)
         for m in methods
     }
     base = jax.random.PRNGKey(seed)
@@ -160,14 +168,24 @@ def run_waterfall(
     ber, info_ber, fer, ferd = zeros(), zeros(), zeros(), zeros()
     t0 = time.perf_counter()
     for p, e in enumerate(ebn0_db):
-        key = jax.random.fold_in(base, p)  # shared across methods: same frames
         for m in methods:
-            s = steps[m](key, float(e))
-            nb, nf = float(s.n_bits), float(s.n_frames)
-            ber[m][p] = float(s.bit_errors) / nb
-            info_ber[m][p] = float(s.info_bit_errors) / (nf * code.K)
-            fer[m][p] = float(s.frame_errors) / nf
-            ferd[m][p] = float(s.detected_errors) / nf
+            acc = np.zeros(4)
+            nf = nb = 0.0
+            for si in range(n_steps):
+                # key shared across methods (same frames per point, like the
+                # reference), distinct per point and step
+                key = jax.random.fold_in(jax.random.fold_in(base, p), si)
+                s = steps[m](key, float(e))
+                # one host fetch per step (scalar fetches cost a full tunnel
+                # round-trip each on remote TPU platforms)
+                vals = np.asarray(jnp.stack(list(s)), np.float64)
+                acc += vals[:4]
+                nf += vals[4]
+                nb += vals[5]
+            ber[m][p] = acc[0] / nb
+            info_ber[m][p] = acc[1] / (nf * code.K)
+            fer[m][p] = acc[2] / nf
+            ferd[m][p] = acc[3] / nf
         if progress:
             print(f"  Eb/N0 {e:+5.1f} dB: " + "  ".join(
                 f"{m}={ber[m][p]:.3e}" for m in methods), flush=True)
