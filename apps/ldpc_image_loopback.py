@@ -16,6 +16,52 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def run_native(args) -> None:
+    """Image loopback over the native threaded executor: C++ source/sink
+    threads stream and reassemble while this (device) stage batches frames
+    through encode -> AWGN -> decode."""
+    import jax
+    import numpy as np
+
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import (
+        awgn, encode_to_symbols, make_decoder, pack_bits)
+    from gr_ldpc_ece535a_tpu.runtime import NativePipeline
+
+    code = get_code("block_32_64")
+    fb = code.K // 8  # bytes per frame
+    dec = make_decoder(code, method=args.method, iterations=5)
+    key = jax.random.PRNGKey(args.seed)
+    raw = Path(args.image).read_bytes()
+    batch_bytes = 4096 * fb
+
+    with NativePipeline() as pipe:
+        pipe.start_file_source(args.image, repeats=args.repeats, align=fb)
+        pipe.start_bmp_sink(args.out)
+        rem = b""
+        while True:
+            pulled = pipe.pull(batch_bytes, min_bytes=batch_bytes)
+            chunk = rem + pulled
+            if not pulled:
+                break  # align=fb makes the total stream frame-aligned
+            n = (len(chunk) // fb) * fb
+            rem = chunk[n:]  # ring pops are byte-granular; carry the tail
+            if not n:
+                continue
+            data = np.frombuffer(chunk[:n], np.uint8).reshape(-1, fb)
+            key, sub = jax.random.split(key)
+            rx = awgn(sub, encode_to_symbols(data, code), args.ebn0_db)
+            out = np.asarray(pack_bits(dec(rx)[:, code.M:]))
+            pipe.push(out.tobytes())
+        pipe.finish()
+        ok = Path(args.out).exists() and Path(args.out).read_bytes() == raw
+        print(f"[native] images written: {pipe.images_written}; "
+              f"bytes {pipe.bytes_in}->{pipe.bytes_out}; "
+              f"exact reconstruction: {ok}")
+        if not pipe.images_written:
+            sys.exit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--image", required=True, help="input BMP path")
@@ -30,11 +76,20 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--native", action="store_true",
+                    help="run through the native threaded pipeline (C++ "
+                         "file-source and BMP-sink threads overlapping the "
+                         "batched device stage) instead of the Python "
+                         "flowgraph")
     args = ap.parse_args()
 
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+
+    if args.native:
+        run_native(args)
+        return
 
     import numpy as np
 

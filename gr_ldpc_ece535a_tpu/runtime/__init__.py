@@ -7,6 +7,8 @@ Provides:
   check_frame(u, H, threshold)  syndrome weight with early abort
   RingBuffer                    lock-free SPSC byte ring
   BmpScanner                    streaming BMP reassembly scanner
+  NativePipeline                threaded stream executor (file-source and
+                                BMP-sink threads overlap the device stage)
 
 The decoders are the framework's second, independent oracle implementation
 (first: ops/oracle.py in Python float64) — both written from the behavioral
@@ -27,6 +29,7 @@ import numpy as np
 
 __all__ = [
     "BmpScanner",
+    "NativePipeline",
     "RingBuffer",
     "build_native",
     "check_frame",
@@ -96,6 +99,26 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.bmp_scanner_pop_image.restype = ctypes.c_size_t
     lib.bmp_scanner_pop_image.argtypes = [ctypes.c_void_p, u8p,
                                           ctypes.c_size_t]
+    lib.pipe_create.restype = ctypes.c_void_p
+    lib.pipe_create.argtypes = [ctypes.c_size_t]
+    lib.pipe_destroy.restype = None
+    lib.pipe_destroy.argtypes = [ctypes.c_void_p]
+    lib.pipe_start_file_source.restype = ctypes.c_int
+    lib.pipe_start_file_source.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                           ctypes.c_int, ctypes.c_size_t]
+    lib.pipe_start_bmp_sink.restype = ctypes.c_int
+    lib.pipe_start_bmp_sink.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pipe_pull.restype = ctypes.c_size_t
+    lib.pipe_pull.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t,
+                              ctypes.c_size_t]
+    lib.pipe_push.restype = None
+    lib.pipe_push.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+    lib.pipe_finish.restype = None
+    lib.pipe_finish.argtypes = [ctypes.c_void_p]
+    for fn in ("pipe_bytes_in", "pipe_bytes_out", "pipe_images_written",
+               "pipe_headers_found"):
+        getattr(lib, fn).restype = ctypes.c_uint64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -227,6 +250,85 @@ class BmpScanner:
         if self._h is not None:
             self._lib.bmp_scanner_destroy(self._h)
             self._h = None
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativePipeline:
+    """Threaded host pipeline (native): the GNU-Radio-scheduler analog.
+
+    A C++ file-source thread streams bytes into an SPSC ring; the Python
+    caller is the device stage — ``pull(n, min_bytes)`` batches of bytes,
+    runs them through the accelerator (encode -> channel -> decode), and
+    ``push(bytes)`` results; a C++ BMP-sink thread reassembles and writes
+    completed images concurrently. Host file IO and image scanning overlap
+    device compute (GIL released during the blocking ctypes calls).
+    """
+
+    def __init__(self, ring_capacity: int = 1 << 20) -> None:
+        self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._h = self._lib.pipe_create(ring_capacity)
+
+    def start_file_source(self, path: str, repeats: int = 1,
+                          align: int = 1) -> None:
+        rc = self._lib.pipe_start_file_source(
+            self._h, str(path).encode(), int(repeats), int(align))
+        if rc != 0:
+            raise FileNotFoundError(path)
+
+    def start_bmp_sink(self, out_path: str) -> None:
+        self._lib.pipe_start_bmp_sink(self._h, str(out_path).encode())
+
+    def pull(self, n: int, min_bytes: int = 1) -> bytes:
+        buf = np.zeros(n, np.uint8)
+        got = self._lib.pipe_pull(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, min_bytes)
+        return bytes(buf[:got])
+
+    def push(self, data: bytes | np.ndarray) -> None:
+        buf = np.frombuffer(bytes(data), np.uint8)
+        self._lib.pipe_push(
+            self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf))
+
+    def finish(self) -> None:
+        """Signal end of stream and wait for the sink thread to drain."""
+        self._lib.pipe_finish(self._h)
+
+    @property
+    def bytes_in(self) -> int:
+        return self._lib.pipe_bytes_in(self._h)
+
+    @property
+    def bytes_out(self) -> int:
+        return self._lib.pipe_bytes_out(self._h)
+
+    @property
+    def images_written(self) -> int:
+        return self._lib.pipe_images_written(self._h)
+
+    @property
+    def headers_found(self) -> int:
+        return self._lib.pipe_headers_found(self._h)
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.pipe_destroy(self._h)
+            self._h = None
+
+    def __enter__(self) -> "NativePipeline":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.finish()
+        self.close()
 
     def __del__(self) -> None:  # pragma: no cover - GC timing
         try:

@@ -19,17 +19,29 @@
 //     (behavioral spec: lib/image_sink_impl.cc:46-84, with the improvement
 //     that headers split across feed() chunks are still found).
 //
+//  4. A threaded stream-pipeline executor — the native analog of the GNU
+//     Radio block scheduler (SURVEY.md L0: one thread per block, circular
+//     buffers between): a file-source thread and a sink thread (BMP
+//     reassembly + file write, or byte counting) run concurrently with the
+//     host's device-dispatch stage, which pulls byte batches from the input
+//     ring and pushes processed bytes to the output ring. This overlaps
+//     host file IO and image scanning with accelerator compute.
+//
 // Codes are tiny (M,N <= 50,100), so decoders scan the dense H row/column
 // and skip zeros — the identical arithmetic visit order to precomputed
 // adjacency lists in ascending index order.
 
 #include <atomic>
 #include <cfloat>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
+#include <fstream>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -350,6 +362,154 @@ size_t bmp_scanner_pop_image(void* h, uint8_t* out, size_t cap) {
   size_t n = img.size();
   s->ready.pop_front();
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// 4. threaded stream-pipeline executor
+// ---------------------------------------------------------------------------
+
+static void spin_yield() {
+  std::this_thread::sleep_for(std::chrono::microseconds(50));
+}
+
+struct Pipeline {
+  Ring* in;          // source thread -> device stage
+  Ring* out;         // device stage -> sink thread
+  std::thread src_thread, sink_thread;
+  std::atomic<bool> src_done{false};
+  std::atomic<bool> out_done{false};
+  std::atomic<bool> stop{false};
+  std::atomic<bool> sink_finished{false};
+  std::atomic<uint64_t> bytes_in{0}, bytes_out{0}, images_written{0};
+  BmpScanner scanner;
+  std::string sink_path;
+
+  ~Pipeline() {
+    stop.store(true);
+    if (src_thread.joinable()) src_thread.join();
+    if (sink_thread.joinable()) sink_thread.join();
+    ring_destroy(in);
+    ring_destroy(out);
+  }
+};
+
+void* pipe_create(size_t ring_capacity) {
+  Pipeline* p = new Pipeline();
+  p->in = static_cast<Ring*>(ring_create(ring_capacity));
+  p->out = static_cast<Ring*>(ring_create(ring_capacity));
+  return p;
+}
+
+void pipe_destroy(void* h) { delete static_cast<Pipeline*>(h); }
+
+// Source thread: stream a file into the input ring `repeats` times,
+// zero-padding the tail to a multiple of `align` bytes (frame alignment).
+int pipe_start_file_source(void* h, const char* path, int repeats,
+                           size_t align) {
+  Pipeline* p = static_cast<Pipeline*>(h);
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return -1;
+  std::string data((std::istreambuf_iterator<char>(f)),
+                   std::istreambuf_iterator<char>());
+  if (align > 1 && data.size() % align)
+    data.append(align - data.size() % align, '\0');
+  p->src_thread = std::thread([p, data, repeats]() {
+    for (int rep = 0; rep < repeats && !p->stop.load(); ++rep) {
+      size_t off = 0;
+      while (off < data.size() && !p->stop.load()) {
+        size_t n = ring_push(
+            p->in, reinterpret_cast<const uint8_t*>(data.data()) + off,
+            data.size() - off);
+        off += n;
+        p->bytes_in.fetch_add(n);
+        if (n == 0) spin_yield();
+      }
+    }
+    p->src_done.store(true, std::memory_order_release);
+  });
+  return 0;
+}
+
+// Sink thread: drain the output ring through the BMP scanner, writing each
+// completed image to `path` (the reference's image_sink overwrites
+// result.bmp per image, lib/image_sink_impl.cc:61-64).
+int pipe_start_bmp_sink(void* h, const char* path) {
+  Pipeline* p = static_cast<Pipeline*>(h);
+  p->sink_path = path;
+  p->sink_thread = std::thread([p]() {
+    std::vector<uint8_t> buf(1 << 16);
+    auto drain_images = [p]() {
+      while (!p->scanner.ready.empty()) {
+        const std::string& img = p->scanner.ready.front();
+        std::ofstream o(p->sink_path, std::ios::binary | std::ios::trunc);
+        o.write(img.data(), (std::streamsize)img.size());
+        o.close();
+        p->scanner.ready.pop_front();
+        p->images_written.fetch_add(1);
+      }
+    };
+    for (;;) {
+      size_t n = ring_pop(p->out, buf.data(), buf.size());
+      if (n) {
+        p->scanner.feed(buf.data(), n);
+        p->bytes_out.fetch_add(n);
+        drain_images();
+      } else if (p->stop.load() ||
+                 (p->out_done.load(std::memory_order_acquire) &&
+                  ring_size(p->out) == 0)) {
+        p->scanner.flush_image();
+        drain_images();
+        break;
+      } else {
+        spin_yield();
+      }
+    }
+    p->sink_finished.store(true, std::memory_order_release);
+  });
+  return 0;
+}
+
+// Device-stage pull: block until >= min_bytes are available (or the source
+// finished), then pop up to n bytes. Returns 0 only at end of stream.
+size_t pipe_pull(void* h, uint8_t* buf, size_t n, size_t min_bytes) {
+  Pipeline* p = static_cast<Pipeline*>(h);
+  for (;;) {
+    size_t avail = ring_size(p->in);
+    bool done = p->src_done.load(std::memory_order_acquire);
+    if (avail >= min_bytes || (done && avail > 0))
+      return ring_pop(p->in, buf, n);
+    if (done || p->stop.load()) return 0;
+    spin_yield();
+  }
+}
+
+// Device-stage push: block until everything is written to the output ring.
+void pipe_push(void* h, const uint8_t* buf, size_t n) {
+  Pipeline* p = static_cast<Pipeline*>(h);
+  size_t off = 0;
+  while (off < n && !p->stop.load()) {
+    size_t w = ring_push(p->out, buf + off, n - off);
+    off += w;
+    if (w == 0) spin_yield();
+  }
+}
+
+// Signal that no more pushes are coming, and wait for the sink to drain.
+void pipe_finish(void* h) {
+  Pipeline* p = static_cast<Pipeline*>(h);
+  p->out_done.store(true, std::memory_order_release);
+  while (p->sink_thread.joinable() &&
+         !p->sink_finished.load(std::memory_order_acquire))
+    spin_yield();
+}
+
+uint64_t pipe_bytes_in(void* h) { return static_cast<Pipeline*>(h)->bytes_in.load(); }
+uint64_t pipe_bytes_out(void* h) { return static_cast<Pipeline*>(h)->bytes_out.load(); }
+uint64_t pipe_images_written(void* h) {
+  return static_cast<Pipeline*>(h)->images_written.load();
+}
+uint64_t pipe_headers_found(void* h) {
+  return static_cast<Pipeline*>(h)->scanner.headers_found;
 }
 
 }  // extern "C"

@@ -129,3 +129,45 @@ def test_bmp_scanner_incomplete_image_dropped():
     sc.finish()
     assert sc.pop_image() == img
     assert sc.pop_image() is None
+
+
+def test_native_pipeline_identity_loopback(tmp_path):
+    """Threaded executor: file-source and BMP-sink threads around an
+    identity device stage must reconstruct the image exactly."""
+    from gr_ldpc_ece535a_tpu.runtime import NativePipeline, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    src = tmp_path / "img.bmp"
+    import numpy as np
+    from gr_ldpc_ece535a_tpu.utils.bmp import make_bmp
+    raw = make_bmp(np.arange(192, dtype=np.uint8).reshape(8, 8, 3))
+    src.write_bytes(raw)
+    out = tmp_path / "out.bmp"
+    p = NativePipeline(ring_capacity=1 << 12)
+    try:
+        p.start_file_source(str(src), repeats=3, align=4)
+        p.start_bmp_sink(str(out))
+        while True:
+            chunk = p.pull(257, min_bytes=7)  # odd sizes exercise wrap/rem
+            if not chunk:
+                break
+            p.push(chunk)
+        p.finish()
+        assert p.images_written == 3
+        assert p.headers_found == 3
+        assert out.read_bytes() == raw
+        assert p.bytes_in == p.bytes_out
+    finally:
+        p.close()
+
+
+def test_native_pipeline_missing_file():
+    from gr_ldpc_ece535a_tpu.runtime import NativePipeline, native_available
+    if not native_available():
+        pytest.skip("no native toolchain")
+    p = NativePipeline()
+    try:
+        with pytest.raises(FileNotFoundError):
+            p.start_file_source("/nonexistent/file.bmp")
+    finally:
+        p.close()
