@@ -118,7 +118,7 @@ class LdpcDecoderBlock(Block):
         if fn is None:
             dec = make_decoder(
                 self.code, method=self.method, iterations=self.iterations,
-                jit=False)
+                jit=False, backend="auto")
 
             def _run(rx):
                 vhat = dec(rx)

@@ -338,10 +338,33 @@ def make_decoder(
     early_exit: bool = True,
     dtype=jnp.float32,
     jit: bool = True,
+    backend: str = "xla",
 ) -> Callable[[jax.Array], jax.Array]:
-    """Build a decoder fn rx (B, N) -> vhat (B, N) for a method id or name."""
+    """Build a decoder fn rx (B, N) -> vhat (B, N) for a method id or name.
+
+    backend: "xla" (default — the bit-exactness path, any platform/dtype),
+    "pallas" (VMEM-resident precise kernel, BP methods on TPU — ~15x the
+    throughput at matched hard decisions), or "auto" (pallas when the
+    default backend is a TPU and the method is a BP method, xla otherwise).
+    """
     if isinstance(method, int):
         method = METHODS[method]
+    if backend not in ("xla", "pallas", "auto"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "xla" and method in ("minsum", "sumproduct"):
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if backend == "pallas" or on_tpu:
+            from .pallas_bp import (
+                pallas_decode_minsum, pallas_decode_sumproduct)
+            pfn = (pallas_decode_minsum if method == "minsum"
+                   else pallas_decode_sumproduct)
+            fn = functools.partial(
+                pfn, code=code, iterations=iterations, mode="precise",
+                early_exit=early_exit)
+            return jax.jit(fn) if jit else fn
+    elif backend == "pallas":
+        raise ValueError(
+            f"backend='pallas' supports minsum/sumproduct, not {method!r}")
     if method == "hard":
         fn = decode_hard
     elif method == "minsum":

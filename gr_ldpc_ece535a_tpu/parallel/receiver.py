@@ -79,7 +79,8 @@ def acquire(
     frames = np.lib.stride_tricks.sliding_window_view(
         head[: n_off + N - 1], N)[:n_off]
     batch = np.concatenate([frames, -frames]).astype(np.float32)
-    dec = make_decoder(code, method=method, iterations=iterations, jit=False)
+    dec = make_decoder(code, method=method, iterations=iterations, jit=False,
+                       backend="auto")
 
     @jax.jit
     def run(b):

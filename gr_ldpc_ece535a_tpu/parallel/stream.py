@@ -48,7 +48,8 @@ def stream_decode_reference(
     T = len(symbols)
     F = max(0, (T - offset) // N)
     frames = np.asarray(symbols[offset : offset + F * N], np.float32).reshape(F, N)
-    dec = make_decoder(code, method=method, iterations=iterations)
+    dec = make_decoder(code, method=method, iterations=iterations,
+                       backend="auto")
     vhat = np.asarray(dec(jnp.asarray(frames)))
     w = np.asarray(syndrome_weight(jnp.asarray(vhat), code.H))
     return vhat, w
