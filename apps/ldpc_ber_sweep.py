@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--png", default=None, help="write waterfall plot PNG here")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="JSONL checkpoint: completed Eb/N0 points are "
+                         "skipped on rerun with the same configuration")
     ap.add_argument("--backend", default="auto",
                     choices=("auto", "xla", "pallas"),
                     help="decoder backend: pallas = VMEM-resident precise "
@@ -60,7 +63,8 @@ def main() -> None:
         frames_per_point=args.frames_per_point,
         iterations=args.iterations,
         methods=tuple(args.methods.split(",")),
-        seed=args.seed, progress=True, backend=args.backend)
+        seed=args.seed, progress=True, backend=args.backend,
+        checkpoint=args.checkpoint)
     print(res.to_table())
     print(f"# {res.frames_per_point} frames/point, wall {res.wall_s:.1f}s")
     if args.octave:

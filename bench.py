@@ -85,6 +85,42 @@ def time_decode(decode_fn, rx, k1: int = 1, k2: int = 5, reps: int = 3) -> float
     return max((t2 - t1) / (k2 - k1), 1e-12)
 
 
+def _bench_receiver(code, n_frames: int = 1 << 15, offset: int = 17):
+    """End-to-end streaming receive of an offset, phase-inverted stream."""
+    import numpy as np
+
+    from gr_ldpc_ece535a_tpu.ops import awgn, encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    kd, kn = jax.random.split(jax.random.PRNGKey(1))
+    data = np.asarray(
+        jax.random.randint(kd, (n_frames, code.K // 8), 0, 256, jnp.int32),
+        np.uint8)
+    tx = encode_to_symbols(jnp.asarray(data), code).reshape(-1)
+    rx = np.asarray(awgn(kn, tx, ebn0_db=6.0))
+    stream = -np.concatenate(  # offset + 180-degree phase flip to acquire
+        [np.zeros(offset, np.float32), rx]).astype(np.float32)
+    recv = StreamReceiver(code=code, iterations=5)
+    # warm the compile caches with an identical-shape, identical-OFFSET
+    # stream (jit caches per shape, and the sharded runner bakes the lock
+    # offset in): different warmup shapes/offsets would leave the real
+    # configuration compiling inside the timed region (~30 s through the
+    # remote-compile daemon)
+    warm = stream.copy()
+    warm[offset:] = -np.asarray(
+        awgn(jax.random.PRNGKey(9), tx, ebn0_db=6.0))
+    recv.receive(warm)
+    t0 = time.perf_counter()
+    out = recv.receive(stream)
+    dt = time.perf_counter() - t0
+    ok = out.acquisition is not None and out.acquisition.offset == offset
+    return {
+        "stream_receiver_info_bits_per_s": len(out.data) * 8 / dt,
+        "stream_receiver_frames": out.n_frames,
+        "stream_receiver_locked": bool(ok and out.acquisition.inverted),
+    }
+
+
 def main() -> None:
     from gr_ldpc_ece535a_tpu.codes import get_code
     from gr_ldpc_ece535a_tpu.ops import decode_minsum, decode_sumproduct
@@ -126,6 +162,16 @@ def main() -> None:
         lambda r: decode_sumproduct(r, code, iterations=iterations,
                                     early_exit=False), rx)
 
+    # secondary, system-level: the mesh streaming receiver end-to-end
+    # (acquisition + sharded decode + host repack), BASELINE configs[5]'s
+    # single-chip slice. Includes host IO and result fetch, so it is a
+    # pipeline number, not a kernel number.
+    receiver = {}
+    try:
+        receiver = _bench_receiver(code)
+    except Exception as e:  # noqa: BLE001
+        errors["receiver"] = f"{type(e).__name__}: {e}"[:200]
+
     bits = {k: batch * code.K / v for k, v in paths.items()}
     # headline: fastest BP decode path (min-sum is the reference's default
     # method 0); sum-product reported alongside
@@ -142,6 +188,7 @@ def main() -> None:
         "batch": batch,
         "best_sumproduct_bits_per_s": max(sp_bits.values()),
         "all_paths_bits_per_s": bits,
+        **receiver,
         **({"errors": errors} if errors else {}),
     }))
 

@@ -331,6 +331,7 @@ METHODS = {
 }
 
 
+@functools.lru_cache(maxsize=None)
 def make_decoder(
     code: LdpcCode,
     method: int | str = 0,
@@ -341,6 +342,11 @@ def make_decoder(
     backend: str = "xla",
 ) -> Callable[[jax.Array], jax.Array]:
     """Build a decoder fn rx (B, N) -> vhat (B, N) for a method id or name.
+
+    Memoized: repeated calls with the same configuration return the SAME
+    jitted callable, so its compilation cache is reused (a fresh jax.jit
+    object per call would retrace and recompile on every use — tens of
+    seconds per call through a remote-compile daemon).
 
     backend: "xla" (default — the bit-exactness path, any platform/dtype),
     "pallas" (VMEM-resident precise kernel, BP methods on TPU — ~15x the

@@ -14,6 +14,7 @@ transmitter->receiver chain on N hosts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +28,21 @@ from .mesh import make_mesh, mesh_axis_sizes
 from .stream import shard_stream_decode
 
 __all__ = ["Acquisition", "ReceiveResult", "StreamReceiver", "acquire"]
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_and_weigh(code, method, iterations):
+    """Memoized jitted (decode + syndrome weight): a fresh jax.jit per
+    acquire() call would retrace and recompile every time."""
+    dec = make_decoder(code, method=method, iterations=iterations, jit=False,
+                       backend="auto")
+
+    @jax.jit
+    def run(b):
+        vhat = dec(b)
+        return syndrome_weight(vhat, code.H)
+
+    return run
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,13 +95,7 @@ def acquire(
     frames = np.lib.stride_tricks.sliding_window_view(
         head[: n_off + N - 1], N)[:n_off]
     batch = np.concatenate([frames, -frames]).astype(np.float32)
-    dec = make_decoder(code, method=method, iterations=iterations, jit=False,
-                       backend="auto")
-
-    @jax.jit
-    def run(b):
-        vhat = dec(b)
-        return syndrome_weight(vhat, code.H)
+    run = _decode_and_weigh(code, method, iterations)
 
     w = np.asarray(run(jnp.asarray(batch)))
     ok = w <= threshold
@@ -105,22 +115,21 @@ def acquire(
         o, inv, wt = candidates[0]
         return Acquisition(offset=o, inverted=inv, weight=wt)
     # verification pass: next verify_frames frames of every candidate in one
-    # batched decode (frames truncated to what the stream actually holds)
-    ver: list[np.ndarray] = []
+    # batched decode (frames truncated to what the stream actually holds).
+    # The batch is padded to a STATIC (max_candidates * verify_frames, N)
+    # shape so this call compiles once per configuration — a data-dependent
+    # candidate count would retrace/recompile on every acquisition.
+    ver = np.zeros((max_candidates * verify_frames, N), np.float32)
     counts: list[int] = []
-    for o, inv, _ in candidates:
+    for ci, (o, inv, _) in enumerate(candidates):
         avail = (len(head) - o) // N
         k = min(verify_frames, max(0, avail - 1))
         f = head[o + N : o + (k + 1) * N].reshape(k, N)
-        ver.append(-f if inv else f)
+        ver[ci * verify_frames : ci * verify_frames + k] = -f if inv else f
         counts.append(k)
-    stacked = (np.concatenate(ver).astype(np.float32)
-               if any(counts) else np.zeros((0, N), np.float32))
-    wv = np.asarray(run(jnp.asarray(stacked))) if stacked.size else np.zeros(0)
-    pos = 0
-    for (o, inv, wt), k in zip(candidates, counts):
-        chunk = wv[pos : pos + k]
-        pos += k
+    wv = np.asarray(run(jnp.asarray(ver)))
+    for ci, ((o, inv, wt), k) in enumerate(zip(candidates, counts)):
+        chunk = wv[ci * verify_frames : ci * verify_frames + k]
         if np.all(chunk <= threshold):
             return Acquisition(offset=o, inverted=inv, weight=wt)
     return None

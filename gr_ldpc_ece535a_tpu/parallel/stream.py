@@ -19,6 +19,7 @@ cost.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -85,15 +86,41 @@ def shard_stream_decode(
                          f"frame periods (multiple of {S * N})")
     if not 0 <= offset < N:
         raise ValueError(f"offset must be in [0, {N}); got {offset}")
-    Tb = T // S
-    nf = Tb // N
+    if decode_fn is None:
+        run = _sharded_stream_runner(code, mesh, method, iterations, offset,
+                                     stream_axis)
+    else:
+        run = _build_stream_runner(code, mesh, method, iterations, offset,
+                                   stream_axis, decode_fn)
+    return run(jnp.asarray(symbols, jnp.float32))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_stream_runner(code, mesh, method, iterations, offset,
+                           stream_axis):
+    """Memoized JITTED sharded runner: rebuilding shard_map+jit per call
+    would re-trace (and, unjitted, dispatch op-by-op — catastrophic on
+    remote/tunneled devices). The frame-grid offset is static (baked into
+    the compilation, one cache entry per lock offset): a traced offset
+    trips a FAILED_PRECONDITION in the TPU backend under shard_map."""
+    return _build_stream_runner(code, mesh, method, iterations, offset,
+                                stream_axis, None)
+
+
+def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
+                         decode_fn):
+    S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
+    N = code.N
     dec = decode_fn or make_decoder(
-        code, method=method, iterations=iterations, jit=False)
+        code, method=method, iterations=iterations, jit=False,
+        backend="auto")
 
     def _shard(x: jax.Array) -> tuple[jax.Array, jax.Array]:
         # receive the right neighbor's first N-1 symbols (ring: the last
         # shard receives the stream head, making its straddling frame static
         # -shape; the caller masks that frame when offset > 0)
+        Tb = x.shape[0]
+        nf = Tb // N
         perm = [(i, (i - 1) % S) for i in range(S)]
         halo = jax.lax.ppermute(x[: N - 1], stream_axis, perm)
         ext = jnp.concatenate([x, halo])                # (Tb + N - 1,)
@@ -102,7 +129,7 @@ def shard_stream_decode(
         w = syndrome_weight(vhat, code.H)
         return vhat, w
 
-    out = jax.shard_map(
+    return jax.jit(jax.shard_map(
         _shard,
         mesh=mesh,
         in_specs=P(stream_axis),
@@ -111,5 +138,4 @@ def shard_stream_decode(
         # along the stream axis, which the VMA checker rejects; correctness is
         # covered by the oracle-equality test instead
         check_vma=False,
-    )(jnp.asarray(symbols, jnp.float32))
-    return out
+    ))

@@ -139,6 +139,7 @@ def run_waterfall(
     progress: bool = False,
     backend: str = "auto",
     frames_per_step: int = 1 << 17,
+    checkpoint: Optional[str] = None,
 ) -> WaterfallResult:
     """Run the sweep. Defaults mirror the reference experiment: the (100,50)
     code, 35 points -7..10 dB step 0.5 (ldpc_lapack.cpp:543), 5 iterations —
@@ -166,8 +167,30 @@ def run_waterfall(
     base = jax.random.PRNGKey(seed)
     zeros = lambda: {m: np.zeros(len(ebn0_db)) for m in methods}
     ber, info_ber, fer, ferd = zeros(), zeros(), zeros(), zeros()
+    # checkpoint/resume: one JSON line per finished point; a rerun with the
+    # same config skips completed points (absent in the reference — its sims
+    # restart from scratch; SURVEY.md §5)
+    done_points: dict = {}
+    cfg_sig = [code.name, int(actual_fpp), int(iterations), list(methods),
+               int(seed), str(backend)]
+    if checkpoint:
+        import pathlib
+        ck = pathlib.Path(checkpoint)
+        if ck.exists():
+            for line in ck.read_text().splitlines():
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("cfg") == cfg_sig:
+                    done_points[round(float(rec["ebn0_db"]), 6)] = rec
     t0 = time.perf_counter()
     for p, e in enumerate(ebn0_db):
+        rec = done_points.get(round(float(e), 6))
+        if rec is not None:
+            for m in methods:
+                ber[m][p], info_ber[m][p], fer[m][p], ferd[m][p] = rec["stats"][m]
+            continue
         for m in methods:
             acc = np.zeros(4)
             nf = nb = 0.0
@@ -186,6 +209,13 @@ def run_waterfall(
             info_ber[m][p] = acc[1] / (nf * code.K)
             fer[m][p] = acc[2] / nf
             ferd[m][p] = acc[3] / nf
+        if checkpoint:
+            with open(checkpoint, "a") as f:
+                f.write(json.dumps({
+                    "cfg": cfg_sig, "ebn0_db": float(e),
+                    "stats": {m: [ber[m][p], info_ber[m][p], fer[m][p],
+                                  ferd[m][p]] for m in methods},
+                }) + "\n")
         if progress:
             print(f"  Eb/N0 {e:+5.1f} dB: " + "  ".join(
                 f"{m}={ber[m][p]:.3e}" for m in methods), flush=True)

@@ -43,3 +43,28 @@ def test_waterfall_plot(tmp_path):
     out = tmp_path / "w.png"
     res.plot(str(out))
     assert out.stat().st_size > 1000
+
+
+def test_waterfall_checkpoint_resume(tmp_path):
+    """A rerun with the same config must skip completed points (identical
+    results, no extra compute) and a different config must not reuse them."""
+    import json
+
+    from gr_ldpc_ece535a_tpu.sim import run_waterfall
+
+    ck = tmp_path / "sweep.ckpt"
+    kw = dict(code="block_32_64", ebn0_db=[2.0, 4.0], frames_per_point=256,
+              iterations=3, methods=("minsum",), checkpoint=str(ck))
+    r1 = run_waterfall(**kw)
+    lines1 = ck.read_text().splitlines()
+    assert len(lines1) == 2
+    r2 = run_waterfall(**kw)  # resumes: nothing appended, same numbers
+    assert ck.read_text().splitlines() == lines1
+    assert np.allclose(r1.ber["minsum"], r2.ber["minsum"])
+    # a different seed invalidates the signature -> points recomputed
+    r3 = run_waterfall(**{**kw, "seed": 7})
+    assert len(ck.read_text().splitlines()) == 4
+    # corrupt lines are ignored, valid ones still resume
+    ck.write_text("not json\n" + "\n".join(lines1) + "\n")
+    r4 = run_waterfall(**kw)
+    assert np.allclose(r4.ber["minsum"], r1.ber["minsum"])
