@@ -145,7 +145,18 @@ def decode_minsum(
     iterations: int = 5,
     early_exit: bool = True,
     dtype=jnp.float32,
+    norm_offset: float = 0.0,
+    norm_scale: float = 1.0,
 ) -> jax.Array:
+    """Min-sum (reference decodeLogDomainSimple) with optional corrections.
+
+    norm_offset/norm_scale extend the reference algorithm with the standard
+    offset/normalized min-sum check-message corrections
+    (|Lr| -> norm_scale * max(|Lr| - norm_offset, 0)), which recover most of
+    min-sum's gap to the true sum-product rule at no extra cost. The
+    defaults (0, 1) reproduce the reference arithmetic exactly; the BER
+    improvement is asserted statistically in tests/test_decoders.py.
+    """
     lay = edge_layout(code)
     B = rx.shape[0]
     big = jnp.asarray(np.finfo(np.dtype(dtype)).max, dtype)  # DBL_MAX analog
@@ -172,6 +183,10 @@ def decode_minsum(
         is_arg = jax.nn.one_hot(argmin1, lay.Wr, dtype=bool)
         min2 = jnp.min(jnp.where(is_arg, big, beta_m), axis=-1, keepdims=True)
         min_excl = jnp.where(is_arg, min2, min1)
+        if norm_offset != 0.0:
+            min_excl = jnp.maximum(min_excl - _f(norm_offset, dtype), 0)
+        if norm_scale != 1.0:
+            min_excl = min_excl * _f(norm_scale, dtype)
         Lr = prod_alpha * alpha * min_excl  # check-major (B, M, Wr)
         # variable step
         Lr_vm = _gather_vm(jnp.where(cmask, Lr, 0), lay)  # (B, N, Wc)

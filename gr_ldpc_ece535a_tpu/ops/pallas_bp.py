@@ -338,6 +338,7 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 
 def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
                         precise: bool, early_exit: bool, n_valid: int,
+                        norm_offset: float, norm_scale: float,
                         rx_ref, bcm_ref, padbig_ref, h_ref, out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
@@ -362,6 +363,10 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         firstmin = ii == amin               # C++ first-occurrence tie rule
         min2 = _tree(jnp.minimum, jnp.where(firstmin, big, beta))
         min_excl = jnp.where(firstmin, min2, min1)
+        if norm_offset != 0.0:  # offset min-sum correction (extension)
+            min_excl = jnp.maximum(min_excl - norm_offset, 0.0)
+        if norm_scale != 1.0:   # normalized min-sum correction (extension)
+            min_excl = min_excl * norm_scale
         Lr = (sg * (prod_alpha * min_excl)).reshape(E, Bt)
         LQ = Lci + mm(bcm, Lr)
         Lq_new = (mmT(bcm, LQ) + padbig) - Lr
@@ -429,14 +434,14 @@ def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
 
 
 def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise,
-              early_exit):
+              early_exit, extra_args=()):
     bcm_np, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
     B = rx.shape[0]
     Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
     return _launch(
         functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
-                          early_exit, B),
+                          early_exit, B, *extra_args),
         rx, N,
         [(jnp.asarray(bcm_np), (N, E)), (jnp.asarray(padbig_np), (E, 1)),
          (Hf, (code.M, N))],
@@ -466,7 +471,7 @@ def _launch(kernel, rx, N, consts, block_b, interpret):
     return out[:, :B].T  # (B, N) int8
 
 
-_MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 2560}
+_MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 3072}
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
                   # were tuned on; VMEM footprint scales with E * block_b
 
@@ -477,7 +482,7 @@ def _auto_block(mode: str, E: int) -> int:
 
 
 def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
-              interpret, mode, early_exit):
+              interpret, mode, early_exit, extra_args=()):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
     if block_b:
@@ -493,13 +498,15 @@ def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
                 "early_exit requires mode='precise' or 'fast'")
         return _run_exact(exact_kernel, rx, code, iterations, bb, interpret)
     return _run_fast(fast_kernel, rx, code, iterations, bb, interpret,
-                     precise=(mode == "precise"), early_exit=early_exit)
+                     precise=(mode == "precise"), early_exit=early_exit,
+                     extra_args=extra_args)
 
 
 def pallas_decode_minsum(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
     block_b: int | None = None, interpret: bool = False, mode: str = "exact",
-    early_exit: bool = False,
+    early_exit: bool = False, norm_offset: float = 0.0,
+    norm_scale: float = 1.0,
 ) -> jax.Array:
     """VMEM-resident min-sum decode. rx (B, N) -> vhat (B, N).
 
@@ -511,9 +518,13 @@ def pallas_decode_minsum(
     (lib/ldpc_decoder_cb_impl.cc:405-408), matching ops/decode.py's batched
     freezing semantics.
     """
+    if (norm_offset, norm_scale) != (0.0, 1.0) and mode == "exact":
+        raise NotImplementedError(
+            "min-sum corrections require mode='precise' or 'fast'")
     return _dispatch(_minsum_exact_kernel, _minsum_fast_kernel,
                      rx, code, iterations, block_b, interpret, mode,
-                     early_exit)
+                     early_exit,
+                     extra_args=(float(norm_offset), float(norm_scale)))
 
 
 def pallas_decode_sumproduct(

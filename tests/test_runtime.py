@@ -171,3 +171,23 @@ def test_native_pipeline_missing_file():
             p.start_file_source("/nonexistent/file.bmp")
     finally:
         p.close()
+
+
+def test_native_concurrency_tsan_clean():
+    """ThreadSanitizer pass over the SPSC ring and pipeline executor (the
+    reference ships no race detection; SURVEY.md section 5). Skips when the
+    toolchain can't build TSAN binaries."""
+    import shutil
+    import subprocess
+    from pathlib import Path
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    script = Path(__file__).resolve().parents[1] / "tools" / "tsan_check.sh"
+    proc = subprocess.run(["bash", str(script)], capture_output=True,
+                          text=True, timeout=240)
+    if proc.returncode != 0 and ("unrecognized" in proc.stderr
+                                 or "cannot find" in proc.stderr):
+        pytest.skip(f"tsan unsupported: {proc.stderr[-200:]}")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "PASS" in proc.stdout
