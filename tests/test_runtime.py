@@ -191,3 +191,29 @@ def test_native_concurrency_tsan_clean():
         pytest.skip(f"tsan unsupported: {proc.stderr[-200:]}")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "PASS" in proc.stdout
+
+
+def test_cmake_build_configures():
+    """The CMake scaffold (reference build-system analog) must configure and
+    build the shared library + stress binary and pass ctest."""
+    import shutil
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    if shutil.which("cmake") is None:
+        pytest.skip("no cmake")
+    src = Path(__file__).resolve().parents[1] / (
+        "gr_ldpc_ece535a_tpu/runtime/native")
+    with tempfile.TemporaryDirectory() as bd:
+        gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+        r = subprocess.run(
+            ["cmake", "-S", str(src), "-B", bd, "-DLDPC_STRESS=ON", *gen],
+            capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stderr[-1000:]
+        r = subprocess.run(["cmake", "--build", bd], capture_output=True,
+                           text=True, timeout=240)
+        assert r.returncode == 0, r.stderr[-1000:]
+        r = subprocess.run(["ctest", "--test-dir", bd, "--output-on-failure"],
+                           capture_output=True, text=True, timeout=120)
+        assert r.returncode == 0, r.stdout[-1000:] + r.stderr[-500:]
