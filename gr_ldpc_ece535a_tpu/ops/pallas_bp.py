@@ -18,12 +18,26 @@ Three kernel modes, trading hard-decision fidelity against throughput
                    and both halves pushed through the bf16 MXU, recovering
                    ~17 mantissa bits. Hard decisions matched the jnp f32
                    path on every frame tested (10^4+ at Eb/N0 4 dB); not a
-                   formal bit-exactness guarantee. ~4.8 ms (0.88 Gbit/s).
+                   formal bit-exactness guarantee. ~4.4 ms (~0.95 Gbit/s).
   mode="fast"    — same algorithm, single-pass bf16 MXU aggregation
                    (messages rounded to bf16 at the segment-sum only).
                    >=99.2% frame agreement at 20 iterations; disagreements
                    concentrate on frames that fail to converge either way.
-                   ~3.0 ms (1.4 Gbit/s) — the production throughput path.
+                   ~2.1-2.5 ms (1.7-2.0 Gbit/s) — the production path.
+
+Two structural optimizations keep the per-iteration work minimal:
+
+  * min-excluding-self is an exclusive prefix/suffix min pass
+    (_excl_min_axis0) — exactly `min_{k != j} beta` with no min1/min2 +
+    first-argmin tie machinery (~14 row-ops vs ~40).
+  * the one-hot gather distributes exactly over addition (each edge column
+    selects a single variable), so the variable step
+    gather(Lci + sum_per_var(Lr)) - Lr collapses to `base + G' @ msgs` with
+    base = gather(Lci) + padbig hoisted out of the loop (computed once at
+    HIGHEST precision) and G' = bcm.T @ bcm - I the zero-diagonal edge Gram
+    matrix: one (E, E) MXU matmul per iteration computes the
+    sum-over-OTHER-edges-of-the-variable directly, and the tentative LLR
+    LQ is assembled only once after the loop (fixed-iteration mode).
 
 The fast/precise kernels use a **w-major edge layout**: slot (w, m) holds
 the w-th edge of check m at flat index e = w*M + m, so messages reshape
@@ -43,9 +57,11 @@ Sum-product check messages are evaluated in the self-inverse phi domain
 sign(E(e)) = prod_k sign(M_k) / sign(M_e), replacing the reference's
 per-edge exclusion products (/root/reference/lib/ldpc_decoder_cb_impl.cc:
 501-516) with one row reduction plus one subtraction — mathematically the
-same tanh rule, reassociated. The min-sum kernel keeps the reference's
-min-sum arithmetic (:309-412) including the first-occurrence argmin tie
-rule and sign(0) = 0 zeroing the whole row's messages.
+same tanh rule, reassociated. The min-sum kernels keep the reference's
+min-sum arithmetic (:309-412): sign(0) = 0 zeroes the whole row's messages,
+and the excluded min is computed directly (prefix/suffix pass in fast/
+precise; the exact kernel reproduces the first-occurrence argmin tie rule,
+which yields the identical value).
 
 The variable-node step uses the identity Lq(e) = LQ(var(e)) - Lr(e)
 (exactly the reference's update form, lib/ldpc_decoder_cb_impl.cc:390) so
@@ -122,6 +138,33 @@ def _excl_suffix_prod(x: jax.Array) -> jax.Array:
         parts.append(acc)
         acc = acc * x[:, w : w + 1]
     return jnp.concatenate(parts[::-1], axis=1)
+
+
+def _excl_min_axis0(x: jax.Array, big) -> tuple[jax.Array, jax.Array]:
+    """(min over k != w along axis 0, min over all) via exclusive
+    prefix/suffix min passes. x: (W, M, Bt), entries >= 0.
+
+    Exactly `min_{k != j} beta(i,k)` (lib/ldpc_decoder_cb_impl.cc:361-371's
+    double loop) — ties need no special handling because the excluded min is
+    computed directly rather than via min1/min2 + first-argmin. ~14 row-ops
+    vs ~40 for the tie-breaking formulation.
+    """
+    W = x.shape[0]
+    fill = jnp.full_like(x[:1], big)
+    pparts = [fill]
+    acc = x[0:1]
+    for w in range(1, W):
+        pparts.append(acc)
+        acc = jnp.minimum(acc, x[w : w + 1])
+    min_all = acc                          # (1, M, Bt)
+    sparts = [fill]
+    acc = x[W - 1 : W]
+    for w in range(W - 2, -1, -1):
+        sparts.append(acc)
+        acc = jnp.minimum(acc, x[w : w + 1])
+    pref = jnp.concatenate(pparts, axis=0)
+    suf = jnp.concatenate(sparts[::-1], axis=0)
+    return jnp.minimum(pref, suf), min_all
 
 
 # ---------------------------------------------------------------------------
@@ -277,19 +320,34 @@ def _unsat(Hf, vhat_f):
 
 def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
                             precise: bool, early_exit: bool, n_valid: int,
-                            rx_ref, bcm_ref, padbig_ref, h_ref, out_ref):
+                            rx_ref, bcm_ref, gram_ref, padbig_ref, h_ref,
+                            out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
-    mm, mmT = _make_mm(precise)
+    mm, _mmT = _make_mm(precise)
     r = -rx_ref[:]                          # (N, Bt)
     bcm = bcm_ref[:]                        # (N, E)
+    G = gram_ref[:]                         # (E, E) edge Gram: bcm.T @ bcm
     padbig = padbig_ref[:]                  # (E, 1): +1e30 on pads else 0
     deg = jnp.sum(bcm, axis=1, keepdims=True)
     degr = deg * r
 
-    Mmsg0 = mmT(bcm, r) + padbig
+    def gather(x):  # one-hot row gather, exact (HIGHEST = full f32)
+        return jax.lax.dot_general(bcm, x, (((0,), (0,)), ((), ())),
+                                   precision=_HIGHEST,
+                                   preferred_element_type=jnp.float32)
 
-    def step(Mmsg):
+    # The per-iteration variable step mmT(bcm, L - r) distributes EXACTLY
+    # over the one-hot gather (each edge column of bcm selects one variable),
+    # so with L - r = mm(bcm, Em) + (deg-1)*r it splits into a loop-invariant
+    # base and a single (E, E) Gram matmul per iteration:
+    #   Mnew = gather((deg-1)*r) + padbig + G @ Em - Em
+    # dropping the tentative-LLR assembly from the loop entirely (L is only
+    # needed for the final hard decision / the early-exit syndrome).
+    base = gather((deg - 1.0) * r) + padbig
+    Mmsg0 = gather(r) + padbig
+
+    def check_step(Mmsg):
         t = Mmsg.reshape(Wr, M, Bt)
         sg = jnp.where(t < 0, -1.0, 1.0)
         # w = log tanh(|t|/2) = -phi(|t|) <= 0; pads: log tanh(1e30) = 0.
@@ -300,16 +358,17 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         v = w - U                           # phi-sum excluding self, >= 0
         # |E| = phi(v); sign = rowprod/sign(self); both negations fold into
         # negP so E arrives with the right sign in one multiply chain
-        Em = ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
-        L = mm(bcm, Em) + degr              # tentative LLR, (N, Bt)
-        Mnew = (mmT(bcm, L - r) + padbig) - Em
-        return Mnew, L
+        return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
 
     if not early_exit:
         def body(_i, carry):
-            Mmsg, _L = carry
-            return step(Mmsg)
-        _, L = jax.lax.fori_loop(0, iterations, body, (Mmsg0, r))
+            Mmsg, _Em = carry
+            Em = check_step(Mmsg)
+            Mnew = base + mm(G, Em)
+            return Mnew, Em
+        _, Em = jax.lax.fori_loop(0, iterations, body,
+                                  (Mmsg0, jnp.zeros_like(Mmsg0)))
+        L = mm(bcm, Em) + degr
         out_ref[:] = (L <= 0).astype(jnp.int8)
         return
 
@@ -324,7 +383,9 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 
     def wbody(carry):
         i, Mmsg, L, done = carry
-        Mnew, Lnew = step(Mmsg)
+        Em = check_step(Mmsg)
+        Lnew = mm(bcm, Em) + degr
+        Mnew = base + mm(G, Em)
         L = jnp.where(done > 0, L, Lnew)
         vhat_f = (Lnew <= 0).astype(jnp.float32)
         done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
@@ -339,44 +400,52 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
                         precise: bool, early_exit: bool, n_valid: int,
                         norm_offset: float, norm_scale: float,
-                        rx_ref, bcm_ref, padbig_ref, h_ref, out_ref):
+                        rx_ref, bcm_ref, gram_ref, padbig_ref, h_ref,
+                        out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
     big = jnp.float32(np.finfo(np.float32).max)
-    mm, mmT = _make_mm(precise)
+    mm, _mmT = _make_mm(precise)
     Lci = -rx_ref[:]
     bcm = bcm_ref[:]
+    G = gram_ref[:]                         # (E, E) edge Gram: bcm.T @ bcm
     padbig = padbig_ref[:]
 
-    Lq0 = mmT(bcm, Lci) + padbig
-    ii = jax.lax.broadcasted_iota(jnp.int32, (Wr, M, Bt), 0)
+    def gather(x):  # one-hot row gather, exact (HIGHEST = full f32)
+        return jax.lax.dot_general(bcm, x, (((0,), (0,)), ((), ())),
+                                   precision=_HIGHEST,
+                                   preferred_element_type=jnp.float32)
 
-    def step(Lq):
+    # Variable step Lq = gather(Lci + mm(bcm, Lr)) - Lr distributes exactly
+    # over the one-hot gather, so the loop carries only check messages and
+    # does ONE matmul per iteration (the tentative LLR LQ is assembled once
+    # after the loop, or per-iteration only under early_exit):
+    #   Lq_new = gather(Lci) + padbig + G @ Lr - Lr
+    base = gather(Lci) + padbig
+    Lq0 = base
+
+    def check_step(Lq):
         t = Lq.reshape(Wr, M, Bt)
         beta = jnp.abs(t)                   # pads: 1e30
         sg = jnp.where(t < 0, -1.0, 1.0)
-        P = _tree(jnp.multiply, sg)
-        min1 = _tree(jnp.minimum, beta)
+        P = _tree(jnp.multiply, sg)         # full-row sign product
+        min_excl, min1 = _excl_min_axis0(beta, big)
         prod_alpha = jnp.where(min1 == 0, 0.0, P)   # sign(0)=0 zeroes the row
-        cand = jnp.where(beta == min1, ii, jnp.int32(Wr))
-        amin = _tree(jnp.minimum, cand)
-        firstmin = ii == amin               # C++ first-occurrence tie rule
-        min2 = _tree(jnp.minimum, jnp.where(firstmin, big, beta))
-        min_excl = jnp.where(firstmin, min2, min1)
         if norm_offset != 0.0:  # offset min-sum correction (extension)
             min_excl = jnp.maximum(min_excl - norm_offset, 0.0)
         if norm_scale != 1.0:   # normalized min-sum correction (extension)
             min_excl = min_excl * norm_scale
-        Lr = (sg * (prod_alpha * min_excl)).reshape(E, Bt)
-        LQ = Lci + mm(bcm, Lr)
-        Lq_new = (mmT(bcm, LQ) + padbig) - Lr
-        return Lq_new, LQ
+        return (sg * (prod_alpha * min_excl)).reshape(E, Bt)
 
     if not early_exit:
         def body(_i, carry):
-            Lq, _LQ = carry
-            return step(Lq)
-        _, LQ = jax.lax.fori_loop(0, iterations, body, (Lq0, Lci))
+            Lq, _Lr = carry
+            Lr = check_step(Lq)
+            Lq_new = base + mm(G, Lr)
+            return Lq_new, Lr
+        _, Lr = jax.lax.fori_loop(0, iterations, body,
+                                  (Lq0, jnp.zeros_like(Lq0)))
+        LQ = Lci + mm(bcm, Lr)
         out_ref[:] = (LQ < 0).astype(jnp.int8)
         return
 
@@ -391,7 +460,9 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 
     def wbody(carry):
         i, Lq, LQ, done = carry
-        Lq_new, LQ_new = step(Lq)
+        Lr = check_step(Lq)
+        LQ_new = Lci + mm(bcm, Lr)
+        Lq_new = base + mm(G, Lr)
         Lq = jnp.where(done > 0, Lq, Lq_new)
         LQ = jnp.where(done > 0, LQ, LQ_new)
         vhat_f = (LQ_new < 0).astype(jnp.float32)
@@ -409,7 +480,10 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
 
 @functools.lru_cache(maxsize=None)
 def _wmajor_layout(code: LdpcCode):
-    """(bcm, padbig, Wr): one-hot edge->variable matrix, w-major slot order."""
+    """(bcm, gram, padbig, Wr): one-hot edge->variable matrix (w-major slot
+    order) and its edge Gram G = bcm.T @ bcm — G[e, e'] = 1 iff edges e, e'
+    touch the same variable, so G @ msgs is the fused
+    per-variable-sum-then-broadcast-back of the BP variable step."""
     H = code.H
     M, N = H.shape
     Wr = int(H.sum(1).max())
@@ -419,8 +493,10 @@ def _wmajor_layout(code: LdpcCode):
         js = np.flatnonzero(H[m])
         for w, j in enumerate(js):
             bcm[j, w * M + m] = 1.0
+    gram = (bcm.T @ bcm).astype(np.float32)
+    np.fill_diagonal(gram, 0.0)  # exclusive: sum over OTHER edges of the var
     padbig = ((bcm.sum(0) == 0) * _BIG).astype(np.float32).reshape(E, 1)
-    return bcm, padbig, Wr
+    return bcm, gram, padbig, Wr
 
 
 def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
@@ -435,7 +511,7 @@ def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
 
 def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise,
               early_exit, extra_args=()):
-    bcm_np, padbig_np, Wr = _wmajor_layout(code)
+    bcm_np, gram_np, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
     B = rx.shape[0]
     Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
@@ -443,12 +519,18 @@ def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise,
         functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
                           early_exit, B, *extra_args),
         rx, N,
-        [(jnp.asarray(bcm_np), (N, E)), (jnp.asarray(padbig_np), (E, 1)),
-         (Hf, (code.M, N))],
+        [(jnp.asarray(bcm_np), (N, E)), (jnp.asarray(gram_np), (E, E)),
+         (jnp.asarray(padbig_np), (E, 1)), (Hf, (code.M, N))],
         block_b, interpret)
 
 
-def _launch(kernel, rx, N, consts, block_b, interpret):
+def _launch(kernel, rx, N, consts, block_b, interpret, vmem_limit=None):
+    """vmem_limit: bytes of scoped VMEM to request, or None for the compiler
+    default (~16 MiB). Only raise it when the tile genuinely needs more —
+    empirically a raised limit changes Mosaic's scheduling and costs ~40%
+    at block sizes that fit the default budget."""
+    compiler_params = (None if vmem_limit is None else
+                       pltpu.CompilerParams(vmem_limit_bytes=vmem_limit))
     B = rx.shape[0]
     Bp = max(block_b, ((B + block_b - 1) // block_b) * block_b)
     rx_t = jnp.zeros((N, Bp), jnp.float32).at[:, :B].set(
@@ -467,11 +549,12 @@ def _launch(kernel, rx, N, consts, block_b, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int8),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(rx_t, *[arr for arr, _ in consts])
     return out[:, :B].T  # (B, N) int8
 
 
-_MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 3072}
+_MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 4096}
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
                   # were tuned on; VMEM footprint scales with E * block_b
 
