@@ -29,6 +29,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -127,6 +128,16 @@ def main() -> None:
     from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
         pallas_decode_minsum, pallas_decode_sumproduct)
 
+    # Wall-clock budget: the headline (pallas fast) paths always run; the
+    # optional paths (precise, XLA reference, streaming receiver) each run
+    # only while time remains, so the JSON line is always produced even when
+    # every jit goes through a cold remote-compile daemon (~20-40 s each).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - t_start)
+
     code = get_code("block_32_64")
     iterations = 20
     batch = 1 << 17  # 131072 frames resident
@@ -140,37 +151,42 @@ def main() -> None:
     # "fast" = bf16 aggregation (max throughput), "precise" = hi/lo split
     # (matched jnp-f32 hard decisions on every tested frame) — see
     # gr_ldpc_ece535a_tpu/ops/pallas_bp.py module docstring.
-    for name, fn in (
-        ("pallas_minsum_fast", lambda r: pallas_decode_minsum(
+    # Headline paths first (always), optional paths gated on the budget
+    # (each needs ~60-90 s of compile headroom when caches are cold).
+    for gate, name, fn in (
+        (None, "pallas_minsum_fast", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="fast")),
-        ("pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
+        (None, "pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="fast")),
-        ("pallas_minsum_precise", lambda r: pallas_decode_minsum(
+        (90.0, "pallas_minsum_precise", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="precise")),
-        ("pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
+        (90.0, "pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="precise")),
+        (90.0, "xla_minsum", lambda r: decode_minsum(
+            r, code, iterations=iterations, early_exit=False)),
+        (90.0, "xla_sumproduct", lambda r: decode_sumproduct(
+            r, code, iterations=iterations, early_exit=False)),
     ):
+        if gate is not None and remaining() < gate:
+            errors[name] = "skipped: bench budget exhausted"
+            continue
         try:
             paths[name] = time_decode(fn, rx)
         except Exception as e:  # noqa: BLE001 - fall back off-TPU
             errors[name] = f"{type(e).__name__}: {e}"[:200]
-    # XLA reference paths (fixed-iteration variants)
-    paths["xla_minsum"] = time_decode(
-        lambda r: decode_minsum(r, code, iterations=iterations,
-                                early_exit=False), rx)
-    paths["xla_sumproduct"] = time_decode(
-        lambda r: decode_sumproduct(r, code, iterations=iterations,
-                                    early_exit=False), rx)
 
     # secondary, system-level: the mesh streaming receiver end-to-end
     # (acquisition + sharded decode + host repack), BASELINE configs[5]'s
     # single-chip slice. Includes host IO and result fetch, so it is a
     # pipeline number, not a kernel number.
     receiver = {}
-    try:
-        receiver = _bench_receiver(code)
-    except Exception as e:  # noqa: BLE001
-        errors["receiver"] = f"{type(e).__name__}: {e}"[:200]
+    if remaining() < 120.0:
+        errors["receiver"] = "skipped: bench budget exhausted"
+    else:
+        try:
+            receiver = _bench_receiver(code)
+        except Exception as e:  # noqa: BLE001
+            errors["receiver"] = f"{type(e).__name__}: {e}"[:200]
 
     bits = {k: batch * code.K / v for k, v in paths.items()}
     # headline: fastest BP decode path (min-sum is the reference's default
@@ -186,7 +202,7 @@ def main() -> None:
         "backend": platform,
         "best_path": best_name,
         "batch": batch,
-        "best_sumproduct_bits_per_s": max(sp_bits.values()),
+        "best_sumproduct_bits_per_s": max(sp_bits.values(), default=0.0),
         "all_paths_bits_per_s": bits,
         **receiver,
         **({"errors": errors} if errors else {}),

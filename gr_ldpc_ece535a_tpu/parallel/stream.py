@@ -111,9 +111,14 @@ def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
                          decode_fn):
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
     N = code.N
+    # Route on the MESH's device platform, not the process default:
+    # jax.devices()[0] can be a TPU while the shard_map mesh is a virtual
+    # CPU mesh (the axon plugin keeps the TPU registered even under
+    # JAX_PLATFORMS=cpu), and Pallas kernels lowered for CPU devices fail.
+    on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
     dec = decode_fn or make_decoder(
         code, method=method, iterations=iterations, jit=False,
-        backend="auto")
+        backend="auto" if on_tpu else "xla")
 
     def _shard(x: jax.Array) -> tuple[jax.Array, jax.Array]:
         # receive the right neighbor's first N-1 symbols (ring: the last
