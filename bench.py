@@ -190,9 +190,10 @@ def main() -> None:
 
     bits = {k: batch * code.K / v for k, v in paths.items()}
     # headline: fastest BP decode path (min-sum is the reference's default
-    # method 0); sum-product reported alongside
-    best_name = max(bits, key=bits.get)
-    value = bits[best_name]
+    # method 0); sum-product reported alongside. If every path failed
+    # (e.g. off-TPU with pallas unavailable), still emit the JSON line.
+    best_name = max(bits, key=bits.get) if bits else "none"
+    value = bits.get(best_name, 0.0)
     sp_bits = {k: v for k, v in bits.items() if "sumproduct" in k}
     print(json.dumps({
         "metric": "decoded_info_bits_per_s_per_chip_20bp_iters",
