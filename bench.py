@@ -86,30 +86,38 @@ def time_decode(decode_fn, rx, k1: int = 1, k2: int = 5, reps: int = 3) -> float
     return max((t2 - t1) / (k2 - k1), 1e-12)
 
 
-def _bench_receiver(code, n_frames: int = 1 << 15, offset: int = 17):
-    """End-to-end streaming receive of an offset, phase-inverted stream."""
+def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
+    """End-to-end streaming receive of an offset, phase-inverted stream.
+
+    The stream is generated and stays ON DEVICE (the production regime: the
+    symbol source feeds device memory; only acquisition's head window, the
+    packed payload bytes, and per-frame syndrome weights cross the host
+    boundary). Timed region = acquisition + sharded decode + on-device byte
+    repack + result fetch + host accept-filtering.
+    """
     import numpy as np
 
     from gr_ldpc_ece535a_tpu.ops import awgn, encode_to_symbols
     from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
 
     kd, kn = jax.random.split(jax.random.PRNGKey(1))
-    data = np.asarray(
-        jax.random.randint(kd, (n_frames, code.K // 8), 0, 256, jnp.int32),
-        np.uint8)
-    tx = encode_to_symbols(jnp.asarray(data), code).reshape(-1)
-    rx = np.asarray(awgn(kn, tx, ebn0_db=6.0))
-    stream = -np.concatenate(  # offset + 180-degree phase flip to acquire
-        [np.zeros(offset, np.float32), rx]).astype(np.float32)
+    data = jax.random.randint(kd, (n_frames, code.K // 8), 0, 256, jnp.int32
+                              ).astype(jnp.uint8)
+    tx = encode_to_symbols(data, code).reshape(-1)
+
+    def make_stream(key):  # offset + 180-degree phase flip to acquire
+        return jnp.concatenate(
+            [jnp.zeros(offset, jnp.float32), -awgn(key, tx, ebn0_db=6.0)])
+
+    stream = make_stream(kn)
     recv = StreamReceiver(code=code, iterations=5)
     # warm the compile caches with an identical-shape, identical-OFFSET
     # stream (jit caches per shape, and the sharded runner bakes the lock
     # offset in): different warmup shapes/offsets would leave the real
     # configuration compiling inside the timed region (~30 s through the
     # remote-compile daemon)
-    warm = stream.copy()
-    warm[offset:] = -np.asarray(
-        awgn(jax.random.PRNGKey(9), tx, ebn0_db=6.0))
+    warm = make_stream(jax.random.PRNGKey(9))
+    jax.block_until_ready((stream, warm))
     recv.receive(warm)
     t0 = time.perf_counter()
     out = recv.receive(stream)

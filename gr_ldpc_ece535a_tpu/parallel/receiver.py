@@ -45,6 +45,32 @@ def _decode_and_weigh(code, method, iterations):
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _acquire_fused(code, method, iterations, n_off, verify_frames):
+    """One-shot acquisition program: takes the stream HEAD (length
+    n_off - 1 + (1 + verify_frames) * N) and decodes every candidate
+    (offset, polarity) frame PLUS its verify window in a single batched
+    call, returning syndrome weights (2, n_off, 1 + verify_frames)
+    [polarity 0 = normal, 1 = inverted]. One host->device upload of the
+    head and one small weight fetch replace the search + verify round
+    trips; window extraction is a constant-index gather on device."""
+    N = code.N
+    L = 1 + verify_frames
+    dec = make_decoder(code, method=method, iterations=iterations, jit=False,
+                       backend="auto")
+    idx = (np.arange(n_off)[:, None] + np.arange(L * N)[None, :]).astype(
+        np.int32)  # (n_off, L*N) constant
+
+    @jax.jit
+    def run(head):
+        win = jnp.take(head, jnp.asarray(idx), axis=0)      # (n_off, L*N)
+        frames = jnp.concatenate([win, -win]).reshape(2 * n_off * L, N)
+        w = syndrome_weight(dec(frames), code.H)
+        return w.reshape(2, n_off, L).astype(jnp.int32)
+
+    return run, n_off - 1 + L * N
+
+
 @dataclasses.dataclass(frozen=True)
 class Acquisition:
     offset: int          # frame-grid phase in [0, N)
@@ -92,6 +118,21 @@ def acquire(
         n_off = min(n_off, window)
     if n_off <= 0:
         return None
+    # fast path: when the head covers full verify windows for every
+    # candidate offset, search + verify run as ONE device call on the
+    # uploaded head (one upload, one dispatch, one small weight fetch)
+    if verify_frames > 0:
+        run_f, need = _acquire_fused(code, method, iterations, n_off,
+                                     verify_frames)
+        if len(head) >= need:
+            w = np.asarray(run_f(jnp.asarray(head[:need])))  # (2, n_off, 1+vf)
+            ok = w <= threshold
+            hit = ok.all(axis=2)                             # lock + verify
+            for o in np.nonzero(hit[0] | hit[1])[0]:
+                pol = 0 if hit[0, o] else 1
+                return Acquisition(offset=int(o), inverted=bool(pol),
+                                   weight=int(w[pol, o, 0]))
+            return None
     frames = np.lib.stride_tricks.sliding_window_view(
         head[: n_off + N - 1], N)[:n_off]
     batch = np.concatenate([frames, -frames]).astype(np.float32)
@@ -163,39 +204,70 @@ class StreamReceiver:
         self.stream_axis = stream_axis
         self._S = mesh_axis_sizes(self.mesh)[stream_axis]
 
-    def receive(self, symbols: np.ndarray) -> ReceiveResult:
-        """Decode a real-symbol stream (complex input: real part is taken)."""
+    def receive(self, symbols) -> ReceiveResult:
+        """Decode a real-symbol stream (complex input: real part is taken).
+
+        Accepts a host array (numpy) or a DEVICE-RESIDENT jax.Array. With a
+        device array only the stream head (acquisition window) is fetched to
+        the host; polarity flip, padding, the sharded decode, and the
+        MSB-first data-byte repack all run on device, and only the packed
+        payload bytes plus per-frame syndrome weights come back — the
+        host<->device traffic is O(head + decoded bytes), not O(stream).
+        """
         code, N = self.code, self.code.N
-        reals = np.ascontiguousarray(
-            np.real(np.asarray(symbols)), np.float32)
+        on_device = isinstance(symbols, jax.Array) and not isinstance(
+            symbols, np.ndarray)
+        packed_ok = code.K % 8 == 0
+        if on_device:
+            dev = symbols
+            if jnp.iscomplexobj(dev):
+                dev = jnp.real(dev)
+            dev = dev.astype(jnp.float32)
+            T = int(dev.shape[0])
+            # acquisition needs only the head on host
+            head_len = min(T, self.acquire_window + 6 * N)
+            head = np.asarray(dev[:head_len])
+        else:
+            head = reals = np.ascontiguousarray(
+                np.real(np.asarray(symbols)), np.float32)
+            T = len(reals)
         acq = acquire(
-            reals, code,
+            head, code,
             method=self.method, iterations=self.iterations,
             threshold=self.threshold, window=self.acquire_window)
         if acq is None:
             return ReceiveResult(
                 data=b"", acquisition=None, n_frames=0,
                 accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32))
-        if acq.inverted:
-            reals = -reals
         # frames fully contained in the stream from the lock point
-        n_valid = (len(reals) - acq.offset) // N
+        n_valid = (T - acq.offset) // N
         # pad to a whole number of frame periods per shard (padding symbols
         # only feed frames that are dropped below)
         chunk = self._S * N
-        T_padded = ((len(reals) + chunk - 1) // chunk) * chunk
-        padded = np.zeros(T_padded, np.float32)
-        padded[: len(reals)] = reals
-        vhat, w = shard_stream_decode(
-            jnp.asarray(padded), code, self.mesh, method=self.method,
+        T_padded = ((T + chunk - 1) // chunk) * chunk
+        if on_device:
+            stream_dev = -dev if acq.inverted else dev
+            stream_dev = jnp.pad(stream_dev, (0, T_padded - T))
+        else:
+            if acq.inverted:
+                reals = -reals
+            padded = np.zeros(T_padded, np.float32)
+            padded[:T] = reals
+            stream_dev = jnp.asarray(padded)
+        out, w = shard_stream_decode(
+            stream_dev, code, self.mesh, method=self.method,
             iterations=self.iterations, offset=acq.offset,
-            stream_axis=self.stream_axis)
-        vhat = np.asarray(vhat)[:n_valid]
-        w = np.asarray(w)[:n_valid]
+            stream_axis=self.stream_axis, return_packed=packed_ok)
+        w = np.asarray(w)[:n_valid].astype(np.int32)
         accepted = w <= self.threshold
-        data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
-        payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
-                   if data_bits.size else b"")
+        if packed_ok:
+            packed = np.asarray(out)[:n_valid]  # (F, K//8) uint8
+            payload = packed[accepted].reshape(-1).tobytes()
+        else:
+            vhat = np.asarray(out)[:n_valid]
+            data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
+            payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
+                       if data_bits.size else b"")
         return ReceiveResult(
             data=payload, acquisition=acq, n_frames=int(n_valid),
-            accepted=accepted, weights=w.astype(np.int32))
+            accepted=accepted, weights=w)

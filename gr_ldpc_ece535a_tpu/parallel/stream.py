@@ -65,6 +65,7 @@ def shard_stream_decode(
     offset: int = 0,
     stream_axis: str = "stream",
     decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    return_packed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Decode a (T,) real symbol stream sharded into time blocks with halo.
 
@@ -72,11 +73,18 @@ def shard_stream_decode(
     axis (so every shard owns the same number of whole frame periods), and
     0 <= offset < N is the known frame-grid phase from sync acquisition.
 
-    Returns (vhat (F, N) int8, weights (F,)) where F = T // N frames are laid
-    out in stream order. When offset > 0 the final frame's tail wraps around
-    the ring halo into the stream head — its decode is garbage by
-    construction; callers must drop frames whose global end offset+ (k+1)*N
-    exceeds T (there is exactly one such frame iff offset > 0).
+    Returns (vhat (F, N) int8, weights (F,) int32) where F = T // N frames
+    are laid out in stream order. With ``return_packed=True`` (requires the
+    data-bit count K to be a whole number of bytes) the first output is
+    instead the MSB-first packed data bytes (F, K//8) uint8 — the decoder
+    block's byte repack (/root/reference/lib/ldpc_decoder_cb_impl.cc:207-225)
+    fused on device — and weights are uint8 (every shipped code has M < 256),
+    shrinking the device->host fetch ~16x for streaming consumers.
+
+    When offset > 0 the final frame's tail wraps around the ring halo into
+    the stream head — its decode is garbage by construction; callers must
+    drop frames whose global end offset + (k+1)*N exceeds T (there is
+    exactly one such frame iff offset > 0).
     """
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
     N = code.N
@@ -86,29 +94,32 @@ def shard_stream_decode(
                          f"frame periods (multiple of {S * N})")
     if not 0 <= offset < N:
         raise ValueError(f"offset must be in [0, {N}); got {offset}")
+    if return_packed and code.K % 8 != 0:
+        raise ValueError(
+            f"return_packed requires K % 8 == 0; code has K={code.K}")
     if decode_fn is None:
         run = _sharded_stream_runner(code, mesh, method, iterations, offset,
-                                     stream_axis)
+                                     stream_axis, return_packed)
     else:
         run = _build_stream_runner(code, mesh, method, iterations, offset,
-                                   stream_axis, decode_fn)
+                                   stream_axis, decode_fn, return_packed)
     return run(jnp.asarray(symbols, jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_stream_runner(code, mesh, method, iterations, offset,
-                           stream_axis):
+                           stream_axis, return_packed=False):
     """Memoized JITTED sharded runner: rebuilding shard_map+jit per call
     would re-trace (and, unjitted, dispatch op-by-op — catastrophic on
     remote/tunneled devices). The frame-grid offset is static (baked into
     the compilation, one cache entry per lock offset): a traced offset
     trips a FAILED_PRECONDITION in the TPU backend under shard_map."""
     return _build_stream_runner(code, mesh, method, iterations, offset,
-                                stream_axis, None)
+                                stream_axis, None, return_packed)
 
 
 def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
-                         decode_fn):
+                         decode_fn, return_packed=False):
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
     N = code.N
     # Route on the MESH's device platform, not the process default:
@@ -132,6 +143,9 @@ def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
         frames = jax.lax.dynamic_slice_in_dim(ext, offset, nf * N).reshape(nf, N)
         vhat = dec(frames)
         w = syndrome_weight(vhat, code.H)
+        if return_packed:
+            from ..ops import pack_bits
+            return pack_bits(vhat[:, code.M:]), w.astype(jnp.uint8)
         return vhat, w
 
     return jax.jit(jax.shard_map(

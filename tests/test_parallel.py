@@ -174,3 +174,54 @@ class TestStreamReceiver:
         stream = self._make_stream(code, msg, 0, False, noise=0.0)
         acq = acquire(stream, code, threshold=0)
         assert acq is not None and acq.offset == 0 and not acq.inverted
+
+    def test_receive_device_resident_matches_host(self, code):
+        """A device-resident jax.Array input must produce the identical
+        result to the host-array path (on-device negate/pad/pack)."""
+        from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+        msg = b"device-resident stream path!" * 16  # 448 bytes = 112 frames
+        stream = self._make_stream(code, msg, 23, True, noise=0.3)
+        rx = StreamReceiver(code=code, method=0, iterations=5,
+                            threshold=0, mesh=make_mesh(("stream",)))
+        res_h = rx.receive(stream)
+        res_d = rx.receive(jnp.asarray(stream))
+        assert res_d.acquisition == res_h.acquisition
+        assert res_d.data == res_h.data
+        assert res_d.n_frames == res_h.n_frames
+        np.testing.assert_array_equal(res_d.accepted, res_h.accepted)
+        np.testing.assert_array_equal(res_d.weights, res_h.weights)
+
+
+def test_shard_stream_decode_packed_matches_unpacked(code):
+    """return_packed must fuse the MSB-first byte repack on device: packed
+    bytes == np.packbits of the data half of vhat, weights equal as uint8."""
+    from gr_ldpc_ece535a_tpu.parallel.stream import shard_stream_decode
+    N = code.N
+    rng = np.random.default_rng(7)
+    n_frames = 32
+    data = rng.integers(0, 2, (n_frames, code.K)).astype(np.int8)
+    tx = np.asarray(encode_to_symbols(
+        jnp.asarray(np.packbits(data, axis=-1)), code)).reshape(-1)
+    stream = (tx + rng.normal(0, 0.3, tx.shape)).astype(np.float32)
+    mesh = make_mesh(("stream",))
+    vhat, w = shard_stream_decode(
+        jnp.asarray(stream), code, mesh, method=0, iterations=5, offset=0)
+    packed, w8 = shard_stream_decode(
+        jnp.asarray(stream), code, mesh, method=0, iterations=5, offset=0,
+        return_packed=True)
+    assert np.asarray(packed).dtype == np.uint8
+    assert np.asarray(w8).dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.asarray(packed),
+        np.packbits(np.asarray(vhat)[:, code.M:].astype(np.uint8), axis=-1))
+    np.testing.assert_array_equal(np.asarray(w8), np.asarray(w).astype(np.uint8))
+
+
+def test_shard_stream_decode_packed_rejects_fractional_bytes():
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.parallel.stream import shard_stream_decode
+    c = get_code("sim_5_10")  # K=5: not a whole number of bytes
+    mesh = make_mesh(("stream",))
+    with pytest.raises(ValueError):
+        shard_stream_decode(jnp.zeros(8 * c.N * 8), c, mesh,
+                            return_packed=True)
