@@ -76,8 +76,12 @@ def _fetch_time(fn, rx, reps):
     return best
 
 
-def time_decode(decode_fn, rx, k1: int = 1, k2: int = 5, reps: int = 3) -> float:
-    """Seconds per decode call, tunnel-latency-cancelled (slope method)."""
+def time_decode(decode_fn, rx, k1: int = 1, k2: int = 9, reps: int = 4) -> float:
+    """Seconds per decode call, tunnel-latency-cancelled (slope method).
+
+    k2 - k1 = 8 chained links per slope and best-of-4 fetches: the ~23 ms
+    tunnel round-trip is ~10x one decode, so a long chain keeps the slope's
+    signal-to-noise high against RTT jitter."""
     f1, f2 = _chained(decode_fn, k1), _chained(decode_fn, k2)
     np.asarray(f1(rx))  # compile + warm
     np.asarray(f2(rx))

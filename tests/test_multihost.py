@@ -1,0 +1,74 @@
+"""True multi-process mesh test: 2 JAX processes x 2 CPU devices.
+
+The single-process tests shard over a virtual 8-device mesh; this one runs
+the Monte-Carlo sweep over a REAL cross-process mesh (jax.distributed +
+CPU-gloo collectives — the same execution model as a multi-host TPU pod,
+stand-in per SURVEY.md section 4's multi-node plan). The sweep folds its
+PRNG key by GLOBAL device axis index and psums the counters, so the
+2-process x 2-device result must be bit-identical to a single-process
+4-device run: process topology is invisible to the statistics.
+"""
+
+import json
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+FRAMES = 64
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_workers(n_proc: int, devs_per_proc: int) -> dict:
+    """Launch n_proc worker processes; return process 0's stats JSON."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "multihost_worker.py"),
+             str(i), str(n_proc), str(port), str(devs_per_proc), str(FRAMES)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO))
+        for i in range(n_proc)
+    ]
+    try:
+        outs = [p.communicate(timeout=150) for p in procs]
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("distributed workers timed out (gloo unavailable?)")
+    rcs = [p.returncode for p in procs]
+    if any(rcs):
+        err = "\n".join(e[-500:] for _, e in outs)
+        if "gloo" in err.lower() or "collectives" in err.lower():
+            pytest.skip(f"CPU collectives unavailable: {err[-200:]}")
+        pytest.fail(f"worker exit codes {rcs}:\n{err}")
+    line = [ln for ln in outs[0][0].splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_two_process_sweep_matches_single_process():
+    """2 processes x 2 devices must equal 1 process x 4 devices exactly.
+
+    Both runs happen in fresh worker processes (identical dtype/config);
+    only the process topology differs, and the psum'd statistics must not
+    see it."""
+    dist = _run_workers(n_proc=2, devs_per_proc=2)
+    assert dist["n_global_devices"] == 4
+    assert dist["n_local_devices"] == 2
+    single = _run_workers(n_proc=1, devs_per_proc=4)
+    assert single["n_global_devices"] == 4
+    for k in ("bit_errors", "info_bit_errors", "frame_errors",
+              "detected_errors", "n_frames", "n_bits"):
+        assert single[k] == dist[k], (
+            f"{k}: single-process {single[k]} != 2-process {dist[k]}")
+    assert dist["n_frames"] == 4 * FRAMES
