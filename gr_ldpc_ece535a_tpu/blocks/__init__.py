@@ -17,6 +17,7 @@ from .io import (
     VectorSource,
 )
 from .ldpc import LdpcDecoderBlock, LdpcEncoderBlock
+from .viz import PlotSink
 
 __all__ = [
     "AgcBlock2",
@@ -36,6 +37,7 @@ __all__ = [
     "LdpcDecoderBlock",
     "LdpcEncoderBlock",
     "NullSink",
+    "PlotSink",
     "RandomSource",
     "Throttle",
     "VectorSink",

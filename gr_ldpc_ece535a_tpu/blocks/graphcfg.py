@@ -30,6 +30,7 @@ from . import channel as _channel
 from . import dsp as _dsp
 from . import io as _io
 from . import ldpc as _ldpc
+from . import viz as _viz
 from .base import Block, FlowGraph
 
 __all__ = ["BLOCK_REGISTRY", "load_flowgraph", "run_flowgraph"]
@@ -60,6 +61,7 @@ BLOCK_REGISTRY: dict[str, type[Block]] = {
     "symbol_sync": _dsp.SymbolSyncBlock,
     "ldpc_encoder": _ldpc.LdpcEncoderBlock,
     "ldpc_decoder": _ldpc.LdpcDecoderBlock,
+    "plot_sink": _viz.PlotSink,
 }
 
 
