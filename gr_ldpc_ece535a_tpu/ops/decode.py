@@ -366,17 +366,21 @@ def make_decoder(
     backend: "xla" (default — the bit-exactness path, any platform/dtype),
     "pallas" (VMEM-resident precise kernel, BP methods on TPU — ~15x the
     throughput at matched hard decisions), or "auto" (pallas when the
-    default backend is a TPU and the method is a BP method, xla otherwise).
+    default backend is a TPU, the method is a BP method, and the code fits
+    the VMEM-resident kernels — pallas_bp.MAX_EDGE_SLOTS; xla otherwise).
     """
     if isinstance(method, int):
         method = METHODS[method]
     if backend not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "xla" and method in ("minsum", "sumproduct"):
+        from .pallas_bp import (
+            pallas_decode_minsum, pallas_decode_sumproduct, pallas_supported)
         on_tpu = jax.devices()[0].platform == "tpu"
-        if backend == "pallas" or on_tpu:
-            from .pallas_bp import (
-                pallas_decode_minsum, pallas_decode_sumproduct)
+        fits = pallas_supported(code)
+        if not fits and backend == "auto":
+            pass  # code too large for the VMEM-resident kernels -> XLA path
+        elif backend == "pallas" or on_tpu:
             pfn = (pallas_decode_minsum if method == "minsum"
                    else pallas_decode_sumproduct)
             fn = functools.partial(

@@ -87,7 +87,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..codes import LdpcCode
 from .layout import edge_layout
 
-__all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct"]
+__all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct",
+           "pallas_supported", "edge_slots", "MAX_EDGE_SLOTS"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 _BIG = np.float32(1e30)
@@ -556,11 +557,32 @@ def _launch(kernel, rx, N, consts, block_b, interpret, vmem_limit=None):
 
 _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 4096}
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
-                  # were tuned on; VMEM footprint scales with E * block_b
+                  # were tuned on
+# Largest edge-slot count the VMEM-resident kernels are known to compile
+# for on a v5e (the (E, E) Gram plus the message buffers must fit the
+# ~16 MiB VMEM budget). Empirical: E=768 (a generated 128x256 code)
+# compiles at block_b=512; E=1020 and E=1536 fail even at the 256-lane
+# minimum block. Larger codes route to the XLA decoders
+# (make_decoder backend="auto" does this for you).
+MAX_EDGE_SLOTS = 768
+
+
+def edge_slots(code: LdpcCode) -> int:
+    """w-major slot count E = max_row_weight * M for this code."""
+    return int(code.H.sum(1).max()) * code.M
+
+
+def pallas_supported(code: LdpcCode) -> bool:
+    """Whether the VMEM-resident kernels fit this code on a TPU core."""
+    return edge_slots(code) <= MAX_EDGE_SLOTS
 
 
 def _auto_block(mode: str, E: int) -> int:
-    scaled = (_MODE_BLOCKS[mode] * _REF_SLOTS) // max(E, 1)
+    # The VMEM footprint has an E^2 term (the Gram) on top of the E*block_b
+    # message buffers, so a 1/E block law overshoots for larger codes.
+    # block ~ E^-1.5 fits the measured envelope: E=192 at 4096 (5120+ fails)
+    # and E=768 at 512 (1024 fails), both mode="fast".
+    scaled = int(_MODE_BLOCKS[mode] * (_REF_SLOTS / max(E, 1)) ** 1.5)
     return max(256, (scaled // 256) * 256)
 
 
@@ -568,12 +590,17 @@ def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
               interpret, mode, early_exit, extra_args=()):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
+    E = edge_slots(code)
     if block_b:
-        bb = block_b
+        bb = block_b  # explicit block skips the size gate (escape hatch)
     else:
-        H = code.H
-        Wr = int(H.sum(1).max())
-        E = Wr * code.M
+        if not (interpret or pallas_supported(code)):
+            raise ValueError(
+                f"code {code.name!r} has {E} edge slots; the VMEM-resident "
+                f"pallas kernels fit codes up to {MAX_EDGE_SLOTS} slots "
+                f"(see MAX_EDGE_SLOTS). Use the XLA decoders instead "
+                f"(ops.decode_minsum / make_decoder(backend='xla' or "
+                f"'auto')), or pass block_b explicitly to override.")
         bb = _auto_block(mode, E)
     if mode == "exact":
         if early_exit:

@@ -159,3 +159,33 @@ def test_pallas_fast_other_codes(code_name):
         vj = np.asarray(ref(rx, code, iterations=5, early_exit=False))
         agree = (vf == vj).all(axis=1).mean()
         assert agree >= 0.98, (code_name, pall.__name__, agree)
+
+
+def test_pallas_size_gate_large_codes():
+    """Codes whose edge-slot count exceeds the VMEM envelope must be
+    rejected with a clear error (not an opaque Mosaic compile failure), and
+    make_decoder(backend="auto") must silently route them to the XLA path.
+    Measured envelope: E=768 compiles on a v5e, E>=1020 does not."""
+    from gr_ldpc_ece535a_tpu.codes.ldpc import LdpcCode, make_ldpc
+    from gr_ldpc_ece535a_tpu.ops.decode import make_decoder
+    from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
+        MAX_EDGE_SLOTS, edge_slots, pallas_supported)
+
+    small = get_code("block_32_64")
+    assert edge_slots(small) == 192 and pallas_supported(small)
+
+    big = LdpcCode.from_h(make_ldpc(256, 512, seed=1), name="gen_256_512")
+    assert edge_slots(big) > MAX_EDGE_SLOTS and not pallas_supported(big)
+
+    rx = jnp.zeros((4, big.N), jnp.float32)
+    with pytest.raises(ValueError, match="edge slots"):
+        pallas_decode_minsum(rx, big, iterations=2, mode="fast")
+    # explicit block_b is the escape hatch: the gate must not fire (the
+    # interpret-mode run then exercises the kernel itself)
+    out = pallas_decode_minsum(rx, big, iterations=1, mode="fast",
+                               block_b=128, interpret=True)
+    assert out.shape == (4, big.N)
+
+    # auto-routing returns a working decoder (XLA path off-TPU/oversized)
+    dec = make_decoder(big, method=0, iterations=2, backend="auto")
+    assert np.asarray(dec(rx)).shape == (4, big.N)
