@@ -579,10 +579,13 @@ def pallas_supported(code: LdpcCode) -> bool:
 
 def _auto_block(mode: str, E: int) -> int:
     # The VMEM footprint has an E^2 term (the Gram) on top of the E*block_b
-    # message buffers, so a 1/E block law overshoots for larger codes.
-    # block ~ E^-1.5 fits the measured envelope: E=192 at 4096 (5120+ fails)
-    # and E=768 at 512 (1024 fails), both mode="fast".
-    scaled = int(_MODE_BLOCKS[mode] * (_REF_SLOTS / max(E, 1)) ** 1.5)
+    # message buffers, so a 1/E block law overshoots for larger codes:
+    # block ~ E^-1.5 fits the measured envelope there (E=192 at 4096, 5120+
+    # fails; E=768 at 512, 1024 fails — both mode="fast"). Below the tuning
+    # point the 1/E law is the proven one (the recorded sim-code sweeps ran
+    # it); E^-1.5 would overshoot VMEM for tiny codes (E=48 -> 32k lanes).
+    ratio = _REF_SLOTS / max(E, 1)
+    scaled = int(_MODE_BLOCKS[mode] * min(ratio, ratio**1.5))
     return max(256, (scaled // 256) * 256)
 
 
