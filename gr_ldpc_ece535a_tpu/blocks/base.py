@@ -8,10 +8,13 @@ runtime instead runs a host-side demand loop over a DAG of blocks; each block
 consumes as much input as it can in one `work()` call and produces a batch,
 so device-backed blocks (encoder/decoder) see thousands of frames per call.
 
-When the native C++ runtime library is built (runtime/), the inter-block
-byte streams ride its lock-free SPSC ring buffers and the IO-side blocks
-(file/BMP scanning) run natively; the pure-Python fallback keeps everything
-working without the shared library.
+Inter-block streams are host-side numpy chunk buffers (`_Edge`) in all
+configurations — at the batch sizes this scheduler moves, the copy cost is
+noise next to the device calls. The native C++ runtime (runtime/) provides a
+separate threaded pipeline (`runtime.NativePipeline`) whose stages DO
+communicate through lock-free SPSC ring buffers; apps choose it explicitly
+(e.g. `apps/ldpc_image_loopback.py --native`) when the host-side byte path
+is the bottleneck.
 
 API sketch::
 
@@ -163,5 +166,14 @@ class FlowGraph:
                         break
                     time.sleep(0.001)
         finally:
+            # every block gets its flush even if another's stop() raises;
+            # the first failure is re-raised after all stops ran
+            stop_err: Optional[BaseException] = None
             for b in self._blocks:
-                b.stop()
+                try:
+                    b.stop()
+                except BaseException as e:  # noqa: BLE001 - re-raised below
+                    if stop_err is None:
+                        stop_err = e
+            if stop_err is not None:
+                raise stop_err

@@ -152,6 +152,8 @@ class PlotSink(Block):
     def _plot_freq(self, ax, x) -> None:
         nfft = min(self.fft_size, max(8, len(x)))
         v = x.astype(np.complex64)
+        if len(v) < nfft:  # nfft is floored at 8; zero-pad tiny buffers
+            v = np.pad(v, (0, nfft - len(v)))
         nseg = max(1, len(v) // nfft)
         segs = v[: nseg * nfft].reshape(nseg, nfft)
         win = np.hanning(nfft).astype(np.float32)

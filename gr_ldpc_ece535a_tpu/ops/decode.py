@@ -374,13 +374,22 @@ def make_decoder(
     if backend not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "xla" and method in ("minsum", "sumproduct"):
-        from .pallas_bp import (
-            pallas_decode_minsum, pallas_decode_sumproduct, pallas_supported)
+        from .layout import MAX_EDGE_SLOTS, edge_slots, pallas_supported
         on_tpu = jax.devices()[0].platform == "tpu"
         fits = pallas_supported(code)
+        if not fits and backend == "pallas":
+            # fail at construction, not at first trace (docs/guide.md promise)
+            raise ValueError(
+                f"code {code.name!r} has {edge_slots(code)} edge slots; the "
+                f"VMEM-resident pallas kernels fit codes up to "
+                f"{MAX_EDGE_SLOTS} slots. Use backend='xla' or 'auto'.")
         if not fits and backend == "auto":
             pass  # code too large for the VMEM-resident kernels -> XLA path
         elif backend == "pallas" or on_tpu:
+            # pallas import deferred to here: backend="auto" on hosts where
+            # jax.experimental.pallas cannot import still gets the XLA path
+            from .pallas_bp import (
+                pallas_decode_minsum, pallas_decode_sumproduct)
             pfn = (pallas_decode_minsum if method == "minsum"
                    else pallas_decode_sumproduct)
             fn = functools.partial(

@@ -22,7 +22,27 @@ import numpy as np
 
 from ..codes import LdpcCode
 
-__all__ = ["EdgeLayout", "edge_layout"]
+__all__ = ["EdgeLayout", "edge_layout", "edge_slots", "pallas_supported",
+           "MAX_EDGE_SLOTS"]
+
+# Largest edge-slot count the VMEM-resident pallas kernels are known to
+# compile for on a v5e (the (E, E) Gram plus the message buffers must fit
+# the ~16 MiB VMEM budget). Empirical: E=768 (a generated 128x256 code)
+# compiles at block_b=512; E=1020 and E=1536 fail even at the 256-lane
+# minimum block. Larger codes route to the XLA decoders
+# (make_decoder backend="auto" does this for you). Lives here (pure numpy)
+# so dispatch logic can consult it without importing jax.experimental.pallas.
+MAX_EDGE_SLOTS = 768
+
+
+def edge_slots(code: LdpcCode) -> int:
+    """w-major slot count E = max_row_weight * M for this code."""
+    return int(code.H.sum(1).max()) * code.M
+
+
+def pallas_supported(code: LdpcCode) -> bool:
+    """Whether the VMEM-resident pallas kernels fit this code on a TPU core."""
+    return edge_slots(code) <= MAX_EDGE_SLOTS
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,7 +85,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..codes import LdpcCode
-from .layout import edge_layout
+from .layout import (MAX_EDGE_SLOTS, edge_layout, edge_slots,
+                     pallas_supported)
 
 __all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct",
            "pallas_supported", "edge_slots", "MAX_EDGE_SLOTS"]
@@ -558,23 +559,9 @@ def _launch(kernel, rx, N, consts, block_b, interpret, vmem_limit=None):
 _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 4096}
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
                   # were tuned on
-# Largest edge-slot count the VMEM-resident kernels are known to compile
-# for on a v5e (the (E, E) Gram plus the message buffers must fit the
-# ~16 MiB VMEM budget). Empirical: E=768 (a generated 128x256 code)
-# compiles at block_b=512; E=1020 and E=1536 fail even at the 256-lane
-# minimum block. Larger codes route to the XLA decoders
-# (make_decoder backend="auto" does this for you).
-MAX_EDGE_SLOTS = 768
-
-
-def edge_slots(code: LdpcCode) -> int:
-    """w-major slot count E = max_row_weight * M for this code."""
-    return int(code.H.sum(1).max()) * code.M
-
-
-def pallas_supported(code: LdpcCode) -> bool:
-    """Whether the VMEM-resident kernels fit this code on a TPU core."""
-    return edge_slots(code) <= MAX_EDGE_SLOTS
+# MAX_EDGE_SLOTS / edge_slots / pallas_supported live in ops.layout (pure
+# numpy, importable without jax.experimental.pallas) and are re-exported
+# here for back-compat.
 
 
 def _auto_block(mode: str, E: int) -> int:

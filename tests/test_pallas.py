@@ -189,3 +189,8 @@ def test_pallas_size_gate_large_codes():
     # auto-routing returns a working decoder (XLA path off-TPU/oversized)
     dec = make_decoder(big, method=0, iterations=2, backend="auto")
     assert np.asarray(dec(rx)).shape == (4, big.N)
+
+    # explicit backend="pallas" on an oversized code fails at CONSTRUCTION
+    # (docs/guide.md promises the error fires up front, not at first trace)
+    with pytest.raises(ValueError, match="edge slots"):
+        make_decoder(big, method=0, iterations=2, backend="pallas")

@@ -66,3 +66,34 @@ connections:
     blocks = run_flowgraph(p)
     assert len(blocks["sink"].data()) == 64  # decode unaffected by the tap
     _png_ok(tmp_path / "hist.png")  # relative path resolved against the YAML
+
+
+def test_plot_freq_short_buffer_zero_pads(tmp_path):
+    """A freq sink whose buffer holds fewer than the 8-sample nfft floor
+    must render (zero-padded) rather than crash on the reshape — a crash
+    here escaped FlowGraph.run's stop loop and lost other sinks' output."""
+    sink = PlotSink(path=tmp_path / "f.png", kind="freq")
+    sink.work(np.zeros(3, np.complex64))
+    sink.stop()
+    _png_ok(tmp_path / "f.png")
+
+
+def test_flowgraph_stop_failure_does_not_skip_other_flushes(tmp_path):
+    """One sink's failing stop() must not prevent the remaining blocks'
+    stop() flush; the error is still re-raised after all stops ran."""
+    from gr_ldpc_ece535a_tpu.blocks import VectorSink
+
+    class BoomSink(VectorSink):
+        def stop(self):
+            raise RuntimeError("boom")
+
+    src = VectorSource(np.arange(16, dtype=np.uint8))
+    boom = BoomSink(dtype=np.uint8)
+    plot = PlotSink(path=tmp_path / "h.png", kind="histogram",
+                    dtype=np.uint8)
+    fg = FlowGraph()
+    fg.connect(src, boom)
+    fg.connect(src, plot)
+    with pytest.raises(RuntimeError, match="boom"):
+        fg.run()
+    _png_ok(tmp_path / "h.png")  # the plot sink still flushed
