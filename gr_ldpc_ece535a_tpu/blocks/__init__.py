@@ -2,7 +2,8 @@
 
 from .base import Block, FlowGraph
 from .channel import AwgnBlock, ChannelModelBlock
-from .dsp import AgcBlock2, CostasLoopBlock, PulseShapeBlock, SymbolSyncBlock
+from .dsp import (AgcBlock2, CostasLoopBlock, FreqRecoveryBlock,
+                  PfbClockSyncBlock, PulseShapeBlock, SymbolSyncBlock)
 from .graphcfg import BLOCK_REGISTRY, load_flowgraph, run_flowgraph
 from .io import (
     DumpSink,
@@ -26,6 +27,8 @@ __all__ = [
     "Block",
     "ChannelModelBlock",
     "CostasLoopBlock",
+    "FreqRecoveryBlock",
+    "PfbClockSyncBlock",
     "PulseShapeBlock",
     "SymbolSyncBlock",
     "DumpSink",

@@ -31,7 +31,7 @@ def _cpu():
     return jax.default_device(jax.devices("cpu")[0])
 
 __all__ = ["BpskModBlock", "PulseShapeBlock", "AgcBlock2", "CostasLoopBlock",
-           "SymbolSyncBlock"]
+           "SymbolSyncBlock", "FreqRecoveryBlock", "PfbClockSyncBlock"]
 
 
 class BpskModBlock(Block):
@@ -188,3 +188,98 @@ class SymbolSyncBlock(Block):
         if take == 0:
             return n, None
         return n, v[:take].reshape(-1, self.sps)[:, self.phase].copy()
+
+
+class FreqRecoveryBlock(Block):
+    """Coarse carrier-frequency acquisition (the fll_band_edge role in
+    example4/5/6.grc — see ops.dsp.coarse_cfo_estimate for the TPU-native
+    feedforward design).
+
+    Buffers ``lock_samples`` samples, estimates the CFO once from the
+    squared-signal spectrum, then derotates the stream with a continuous
+    phase (sample counter carried across chunks). The residual offset
+    (<1e-4 cycles/sample) is well inside the downstream Costas loop's
+    pull-in range.
+    """
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "fll_band_edge"
+
+    def __init__(self, lock_samples: int = 16384, max_freq: float = 0.2
+                 ) -> None:
+        super().__init__()
+        self.lock_samples = int(lock_samples)
+        self.max_freq = float(max_freq)
+        self.freq: Optional[float] = None
+        self._lockbuf = np.zeros(0, np.complex64)
+        self._t = 0  # running sample index for continuous-phase derotation
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        x = np.asarray(data, np.complex64)
+        if self.freq is None:
+            self._lockbuf = np.concatenate([self._lockbuf, x])
+            if len(self._lockbuf) < self.lock_samples:
+                return n, None  # still acquiring
+            with _cpu():
+                self.freq = float(dsp.coarse_cfo_estimate(
+                    jnp.asarray(self._lockbuf), max_freq=self.max_freq))
+            x, self._lockbuf = self._lockbuf, np.zeros(0, np.complex64)
+        k = self._t + np.arange(len(x))
+        self._t += len(x)
+        rot = np.exp(-2j * np.pi * self.freq * k).astype(np.complex64)
+        return n, x * rot
+
+
+class PfbClockSyncBlock(Block):
+    """Polyphase clock recovery with fractional-delay/clock-drift tracking
+    (the pfb_clock_sync role in example4.grc; ops.dsp.pfb_clock_sync).
+
+    Streams through an internal buffer in fixed ``segment`` sample slices
+    (bounding the jit cache); acquisition (batched power search) runs on the
+    first full segment, then the (ibase, frac, rate) loop state carries
+    across segments.
+    """
+
+    in_dtype = np.complex64
+    out_dtype = np.complex64
+    name = "pfb_clock_sync"
+
+    def __init__(self, sps: int = 2, nfilts: int = 32,
+                 excess_bw: float = 0.35, loop_bw: float = 0.06,
+                 segment: int = 16384) -> None:
+        super().__init__()
+        self.sps = int(sps)
+        self.nfilts = int(nfilts)
+        self.excess_bw = float(excess_bw)
+        self.loop_bw = float(loop_bw)
+        self.segment = int(segment)
+        self._buf = np.zeros(0, np.complex64)
+        self._state = None  # (ibase, frac, rate) after acquisition
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(data, np.complex64)])
+        outs = []
+        while len(self._buf) >= self.segment:
+            seg = self._buf[:self.segment]
+            with _cpu():
+                y, (ib, fr, ra) = dsp.pfb_clock_sync(
+                    jnp.asarray(seg), sps=self.sps, nfilts=self.nfilts,
+                    excess_bw=self.excess_bw, loop_bw=self.loop_bw,
+                    state0=self._state)
+            consumed = int(ib)
+            if consumed <= 0:  # pathological; drop the segment to progress
+                consumed = self.segment
+            self._buf = self._buf[consumed:]
+            self._state = (0, float(fr), float(ra))
+            outs.append(np.asarray(y))
+        if not outs:
+            return n, None
+        return n, np.concatenate(outs)

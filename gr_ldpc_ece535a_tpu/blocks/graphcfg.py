@@ -59,6 +59,8 @@ BLOCK_REGISTRY: dict[str, type[Block]] = {
     "agc": _dsp.AgcBlock2,
     "costas_loop": _dsp.CostasLoopBlock,
     "symbol_sync": _dsp.SymbolSyncBlock,
+    "fll_band_edge": _dsp.FreqRecoveryBlock,
+    "pfb_clock_sync": _dsp.PfbClockSyncBlock,
     "ldpc_encoder": _ldpc.LdpcEncoderBlock,
     "ldpc_decoder": _ldpc.LdpcDecoderBlock,
     "plot_sink": _viz.PlotSink,

@@ -32,8 +32,15 @@ __all__ = [
     "fir_filter",
     "pulse_shape",
     "agc",
+    "block_agc",
     "costas_loop",
     "symbol_sync",
+    "polyphase_rrc_banks",
+    "fractional_resample",
+    "coarse_cfo_estimate",
+    "mix",
+    "pfb_clock_sync",
+    "vv_carrier_recovery",
 ]
 
 
@@ -142,3 +149,289 @@ def symbol_sync(x: jax.Array, sps: int, taps: np.ndarray):
     energy = jnp.mean(jnp.abs(branches) ** 2, axis=0)
     phase = jnp.argmax(energy)
     return jnp.take(branches, phase, axis=1), phase
+
+
+# ---------------------------------------------------------------------------
+# polyphase machinery: fractional resampling + clock recovery + coarse CFO
+# ---------------------------------------------------------------------------
+
+def polyphase_rrc_banks(sps: int, nfilts: int = 32, excess_bw: float = 0.35,
+                        ntaps_per: int = 11):
+    """(bank, dbank): polyphase RRC matched-filter bank and its derivative.
+
+    ``bank[k]`` correlates against the matched filter sampled at a delay of
+    +k/nfilts INPUT samples (larger k = later sampling instant — this
+    direction is load-bearing for the clock-recovery wrap bookkeeping and is
+    pinned by tests/test_dsp.py; the naive ``proto[k::nfilts]`` slicing
+    yields the OPPOSITE direction, which makes a tracking loop slip one
+    symbol at every phase wrap). The dbank rows are d/dt of the matched
+    filter at the same delays, scaled to per-input-sample units.
+
+    The GR pfb_clock_sync role (examples/example4.grc: nfilts=32 RRC bank +
+    derivative bank; /root/reference has no local implementation — it is an
+    L0 external per SURVEY.md section 3.4).
+    """
+    Lp = ntaps_per * sps * nfilts
+    proto = rrc_taps(sps * nfilts, excess_bw, Lp, gain=float(nfilts))
+    dproto = (np.gradient(proto) * nfilts).astype(np.float32)
+    L = ntaps_per * sps + 1
+    z = np.zeros(nfilts, np.float32)
+    p2 = np.concatenate([z, proto, z])
+    d2 = np.concatenate([z, dproto, z])
+    bank = np.stack([p2[nfilts - k::nfilts][:L] for k in range(nfilts)])
+    dbank = np.stack([d2[nfilts - k::nfilts][:L] for k in range(nfilts)])
+    return bank.astype(np.float32), dbank.astype(np.float32)
+
+
+def _interp_bank(nfilts: int, ntaps_per: int) -> np.ndarray:
+    """Polyphase sinc interpolation bank, row k = fractional delay
+    +k/nfilts (same verified direction as polyphase_rrc_banks). Rows are
+    normalized to unit DC gain; the group delay is (L-1)//2 input samples."""
+    Lp = nfilts * ntaps_per
+    n = np.arange(Lp) - (Lp - 1) / 2
+    proto = (np.sinc(n / nfilts) * np.hanning(Lp)).astype(np.float64)
+    z = np.zeros(nfilts)
+    p2 = np.concatenate([z, proto, z])
+    L = ntaps_per + 1
+    bank = np.stack([p2[nfilts - k::nfilts][:L] for k in range(nfilts)])
+    bank /= bank.sum(axis=1, keepdims=True)
+    return bank.astype(np.float32)
+
+
+def fractional_resample(x: jax.Array, ratio: float, nfilts: int = 128,
+                        ntaps_per: int = 8, t0: float = 0.0) -> jax.Array:
+    """Arbitrary-rate polyphase resampler: y[k] ~= x(t0 + k*ratio + c) with
+    c = the bank's (ntaps_per//2)-sample group delay.
+
+    This is the channels_channel_model ``epsilon`` role (the reference's
+    example4.grc sets epsilon=1.0 = no drift; transmitter/receiver.grc run
+    over real radios whose clocks DO drift) — the impairment
+    ``pfb_clock_sync`` exists to undo. ratio is the receiver-clock/
+    transmitter-clock ratio (1 + 50e-6 = receiver sampling 50 ppm slow).
+    The output frequency scaling and delay convention are pinned by
+    tests/test_dsp.py. Output length is static given (len(x), ratio, t0).
+    """
+    x = jnp.asarray(x)
+    bank = jnp.asarray(_interp_bank(nfilts, ntaps_per))
+    L = ntaps_per + 1
+    n_out = int((x.shape[0] - L - 2 - t0) / ratio)
+    t = t0 + np.arange(n_out) * ratio
+    i = np.floor(t).astype(np.int64)
+    mu = t - i
+    pidx = np.round(mu * nfilts).astype(np.int64)
+    i += pidx // nfilts
+    pidx %= nfilts
+    win = jnp.take(x, jnp.asarray(i[:, None] + np.arange(L)[None, :]), axis=0)
+    return jnp.sum(win * bank[jnp.asarray(pidx)], axis=1).astype(x.dtype)
+
+
+def mix(x: jax.Array, freq: float | jax.Array, phase0: float = 0.0,
+        t0: float | jax.Array = 0.0) -> jax.Array:
+    """Rotate by exp(-j*(2*pi*freq*(t0 + n) + phase0)): remove a carrier
+    offset of ``freq`` cycles/sample (pass -freq to inject one)."""
+    n = t0 + jnp.arange(x.shape[0], dtype=jnp.float32)
+    ph = 2 * jnp.pi * freq * n + phase0
+    return (x * jnp.exp(-1j * ph)).astype(jnp.complex64)
+
+
+def coarse_cfo_estimate(x: jax.Array, nfft: int = 1 << 16,
+                        max_freq: float = 0.2) -> jax.Array:
+    """Coarse carrier-frequency estimate for BPSK, cycles/sample.
+
+    The fll_band_edge role of example4/5/6.grc (SURVEY.md section 3.4):
+    coarse carrier acquisition ahead of clock sync, pulling offsets far
+    beyond the Costas loop's lock-in range. TPU-native design: feedforward
+    instead of a per-sample feedback loop — squaring removes the BPSK
+    modulation (x^2 has a spectral line at 2*f_cfo), one windowed FFT
+    locates the line, and a 3-point parabolic interpolation refines it to a
+    fraction of a bin. Fully batched/MXU-FFT work, no sequential state.
+
+    max_freq bounds the search to |f| <= max_freq cycles/sample, keeping
+    the estimate unambiguous against the squared signal's symbol-rate
+    sidelines at 2f +- 1/T (T = symbol period; keep
+    max_freq < 1/(2T) - guard).
+    """
+    n = min(nfft, int(x.shape[0]))
+    v = x[:n] * x[:n]
+    win = jnp.asarray(np.hanning(n).astype(np.float32))
+    X = jnp.fft.fft(v * win, n=nfft)
+    mag = jnp.abs(X) ** 2
+    freqs = np.fft.fftfreq(nfft)  # cycles/sample, numpy (static)
+    ok = jnp.asarray(np.abs(freqs) <= 2 * max_freq)
+    mag = jnp.where(ok, mag, 0.0)
+    k = jnp.argmax(mag)
+    # parabolic refinement on the log-magnitude of the peak and neighbors
+    km, kp = (k - 1) % nfft, (k + 1) % nfft
+    lm = jnp.log(mag[km] + 1e-30)
+    l0 = jnp.log(mag[k] + 1e-30)
+    lp = jnp.log(mag[kp] + 1e-30)
+    denom = lm - 2 * l0 + lp
+    delta = jnp.where(jnp.abs(denom) > 1e-12,
+                      0.5 * (lm - lp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    kf = k.astype(jnp.float32) + delta
+    f2 = jnp.where(kf > nfft / 2, kf - nfft, kf) / nfft  # signed, c/sample
+    return f2 * 0.5  # squared-signal line sits at 2*f_cfo
+
+
+def block_agc(x: jax.Array, reference: float = 1.0,
+              block: int = 256) -> jax.Array:
+    """Feedforward block AGC: per-block RMS normalization to ``reference``.
+
+    The agc2 role for the device-resident chain — a per-sample feedback
+    loop serializes on TPU (see ``agc``, kept for the faithful streaming
+    block); normalizing each block by its own RMS is fully batched and
+    settles instantly. Trailing partial blocks are padded with zeros for
+    the RMS estimate (slight under-gain on the last block only).
+    """
+    n = x.shape[0]
+    nb = -(-n // block)
+    xp = jnp.zeros(nb * block, x.dtype).at[:n].set(x)
+    v = xp.reshape(nb, block)
+    rms = jnp.sqrt(jnp.mean(jnp.abs(v) ** 2, axis=1, keepdims=True)) + 1e-12
+    return (v * (reference / rms)).reshape(-1)[:n].astype(x.dtype)
+
+
+def _pfb_init_search(x: jax.Array, bank: jax.Array, sps: int,
+                     probe_syms: int):
+    """Open-loop timing acquisition: mean matched-filter output power over
+    every (integer offset, polyphase phase) in one batched pass; returns
+    (ibase, frac) at the power maximum — the tracking loop's stable lock
+    point (the S-curve zero with negative slope sits at the power peak)."""
+    nfilts, L = bank.shape
+    n = probe_syms * sps + L
+    probe = x[:n]
+    # correlate the probe with all nfilts rows at every lag: one grouped
+    # conv (real/imag separately; filters are real)
+    def conv_all(v):
+        inp = v.reshape(1, 1, n)
+        flt = bank[:, None, ::-1]
+        out = jax.lax.conv_general_dilated(
+            inp, flt, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"))
+        return out[0]                      # (nfilts, n - L + 1)
+    yr = conv_all(jnp.real(probe).astype(jnp.float32))
+    yi = conv_all(jnp.imag(probe).astype(jnp.float32))
+    pwr = yr * yr + yi * yi                # (nfilts, n - L + 1)
+    m = ((pwr.shape[1] - sps) // sps) * sps
+    # mean power per (phase, start offset s): samples s, s+sps, ...
+    ps = pwr[:, :m + sps]
+    nsym = m // sps
+    ps = ps[:, : nsym * sps].reshape(nfilts, nsym, sps).mean(axis=1)  # (nfilts, sps)
+    flat = ps.T.reshape(-1)                # index = s * nfilts + k
+    best = jnp.argmax(flat)
+    ibase = (best // nfilts).astype(jnp.int32)
+    frac = (best % nfilts).astype(jnp.float32) / nfilts
+    return ibase, frac
+
+
+@partial(jax.jit, static_argnames=("sps", "nfilts", "excess_bw", "ntaps_per",
+                                   "block_syms", "loop_bw", "rate_clip",
+                                   "probe_syms"))
+def pfb_clock_sync(x: jax.Array, sps: int, nfilts: int = 32,
+                   excess_bw: float = 0.35, ntaps_per: int = 11,
+                   block_syms: int = 64, loop_bw: float = 0.06,
+                   rate_clip: float = 0.002, probe_syms: int = 256,
+                   state0=None):
+    """Polyphase matched-filter clock recovery with fractional-delay and
+    clock-drift tracking (the pfb_clock_sync role of example4.grc).
+
+    TPU-native structure: GR updates the loop once per SYMBOL (a
+    fundamentally sequential per-symbol feedback); here acquisition is a
+    fully batched open-loop power search over all sps*nfilts timing
+    offsets (_pfb_init_search), and tracking is a ``lax.scan`` over BLOCKS
+    of ``block_syms`` symbols — within a block the timing is frozen (at
+    +-50 ppm clock drift the intra-block drift is <= 0.01 samples, well
+    under the 1/nfilts phase grid), the block's symbols come from one
+    dynamically-phase-selected FIR pass, and the loop updates once per
+    block from the power-normalized Gardner-family detector
+    e = mean(Re(y)Re(y') + Im(y)Im(y')) (y' = derivative-bank output).
+    The detector's stable zero is the matched-filter power peak; e > 0
+    means the sampling instant is late, so the update is frac -= alpha*e
+    (sign pinned by tests against injected +-50/200 ppm drift).
+
+    Returns (symbols (nblocks*block_syms,), (ibase, frac, rate)): the final
+    loop state. ``state0`` (same tuple shape, with ibase relative to this
+    call's ``x``) continues tracking across stream chunks WITHOUT re-running
+    acquisition — the PfbClockSyncBlock carries it, slicing its buffer to
+    the returned ibase each chunk.
+    """
+    bank_np, dbank_np = polyphase_rrc_banks(sps, nfilts, excess_bw, ntaps_per)
+    bank, dbank = jnp.asarray(bank_np), jnp.asarray(dbank_np)
+    L = bank_np.shape[1]
+    damping = math.sqrt(2.0) / 2.0
+    den = 1.0 + 2.0 * damping * loop_bw + loop_bw * loop_bw
+    alpha = jnp.float32(4 * damping * loop_bw / den)
+    beta = jnp.float32(4 * loop_bw * loop_bw / den)
+
+    n = int(x.shape[0])
+    win_len = block_syms * sps + L
+    # drift margin: rate_clip samples/symbol worst case, plus slack
+    nblocks = max((n - win_len - sps - 4) // (block_syms * sps), 0)
+    margin = int(rate_clip * nblocks * block_syms) + 2 * sps + 4
+    nblocks = max((n - win_len - margin) // (block_syms * sps), 0)
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+
+    if state0 is None:
+        ibase0, frac0 = _pfb_init_search(x, bank, sps, min(probe_syms,
+                                                           max(nblocks, 1)
+                                                           * block_syms))
+        rate0 = jnp.float32(0.0)
+    else:
+        ibase0 = jnp.asarray(state0[0], jnp.int32)
+        frac0 = jnp.asarray(state0[1], jnp.float32)
+        rate0 = jnp.asarray(state0[2], jnp.float32)
+
+    def step(carry, _):
+        ibase, frac, rate = carry
+        pq = jnp.round(frac * nfilts).astype(jnp.int32)
+        ib = ibase + pq // nfilts
+        pidx = pq % nfilts
+        tf = jnp.take(bank, pidx, axis=0)
+        df = jnp.take(dbank, pidx, axis=0)
+        wr = jax.lax.dynamic_slice(xr, (ib,), (win_len,))
+        wi = jax.lax.dynamic_slice(xi, (ib,), (win_len,))
+        yr = jnp.convolve(wr, tf[::-1], mode="valid")[::sps][:block_syms]
+        yi_ = jnp.convolve(wi, tf[::-1], mode="valid")[::sps][:block_syms]
+        dyr = jnp.convolve(wr, df[::-1], mode="valid")[::sps][:block_syms]
+        dyi = jnp.convolve(wi, df[::-1], mode="valid")[::sps][:block_syms]
+        p = jnp.mean(yr * yr + yi_ * yi_) + 1e-12
+        e = jnp.clip(jnp.mean(yr * dyr + yi_ * dyi) / p, -0.3, 0.3)
+        rate = jnp.clip(rate - beta * e, -rate_clip, rate_clip)
+        adv = frac + block_syms * sps + block_syms * rate - alpha * e
+        stepi = jnp.floor(adv).astype(jnp.int32)
+        return ((ibase + stepi, adv - stepi, rate),
+                (yr + 1j * yi_).astype(jnp.complex64))
+
+    (ibaseF, fracF, rateF), ys = jax.lax.scan(
+        step, (ibase0, frac0, rate0), None, length=nblocks)
+    return ys.reshape(-1), (ibaseF, fracF, rateF)
+
+
+def vv_carrier_recovery(syms: jax.Array, block: int = 64) -> jax.Array:
+    """Feedforward BPSK carrier-phase recovery (Viterbi&Viterbi, M=2).
+
+    The costas_loop role for the device-resident chain: instead of a
+    per-symbol feedback scan, estimate the residual carrier phase per
+    BLOCK as angle(mean(y^2))/2 (squaring removes BPSK modulation), unwrap
+    the mod-pi estimates across blocks (valid while the residual CFO moves
+    the phase < pi/2 per block — guaranteed after coarse_cfo_estimate),
+    linearly interpolate per symbol, and derotate. Fully vectorized; the
+    remaining pi ambiguity is absorbed by the decoder's IN_SYNC_INVERTED
+    state exactly as the Costas loop's is.
+    """
+    n = syms.shape[0]
+    nb = -(-n // block)
+    v = jnp.zeros(nb * block, syms.dtype).at[:n].set(syms).reshape(nb, block)
+    ph2 = jnp.angle(jnp.mean(v * v, axis=1))        # 2*phase, mod 2pi
+    # unwrap (mod 2pi in the doubled domain = mod pi in phase)
+    d = jnp.diff(ph2)
+    d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+    ph2u = jnp.concatenate([ph2[:1], ph2[0] + jnp.cumsum(d)])
+    ph = ph2u * 0.5                                 # per-block center phase
+    # per-symbol linear interpolation between block centers
+    centers = (jnp.arange(nb) + 0.5) * block
+    t = jnp.arange(n, dtype=jnp.float32)
+    phi = jnp.interp(t, centers, ph)
+    return (syms * jnp.exp(-1j * phi)).astype(jnp.complex64)

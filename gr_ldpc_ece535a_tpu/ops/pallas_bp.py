@@ -13,12 +13,20 @@ Three kernel modes, trading hard-decision fidelity against throughput
                    one-hot matmuls, prefix/suffix exclusion scans. Hard
                    decisions identical to the jnp f32 path (asserted in
                    tests/test_pallas.py, interpret mode). ~15-24 ms.
-  mode="precise" — w-major layout (below) with hi/lo-split aggregation:
-                   every f32 operand is split x == hi + lo with hi = bf16(x)
-                   and both halves pushed through the bf16 MXU, recovering
-                   ~17 mantissa bits. Hard decisions matched the jnp f32
-                   path on every frame tested (10^4+ at Eb/N0 4 dB); not a
-                   formal bit-exactness guarantee. ~4.4 ms (~0.95 Gbit/s).
+  mode="precise" — w-major layout (below) with STACKED hi/lo-split
+                   aggregation: every f32 operand is split x == hi + lo
+                   with hi = bf16(x), the halves stacked along the
+                   contraction axis, and ONE bf16 MXU matmul run against
+                   the doubled matrix [A | A], recovering ~17 mantissa
+                   bits. (Contraction 2E = 384 = 3x128 MXU chunks exactly;
+                   two separate passes each pad E=192 to 2x128 — the stack
+                   is 26-37% faster at identical arithmetic, see
+                   tools/proto_r3.py.) Hard decisions matched the jnp f32
+                   path on every frame tested (large-sample on-TPU parity
+                   counters recorded per round in BENCH_r*.json); not a
+                   formal bit-exactness guarantee — see docs/kernels.md
+                   for the error-bound argument. ~3.8 ms (~1.1 Gbit/s)
+                   sum-product, ~2.9 ms (~1.45 Gbit/s) min-sum.
   mode="fast"    — same algorithm, single-pass bf16 MXU aggregation
                    (messages rounded to bf16 at the segment-sum only).
                    >=99.2% frame agreement at 20 iterations; disagreements
@@ -266,37 +274,37 @@ def _sumproduct_exact_kernel(iterations: int, M: int, Wr: int, N: int,
 # fast/precise kernels (w-major layout)
 # ---------------------------------------------------------------------------
 
-def _make_mm(precise: bool):
-    """One-hot aggregation matmuls on the bf16 MXU.
+def _make_split_mm(precise: bool):
+    """One-hot aggregation matmuls on the bf16 MXU, as (split, mm).
 
-    precise=True splits the f32 operand x == hi + lo (hi = bf16(x)) and
-    runs both halves, recovering ~17 mantissa bits at 2x MXU cost (MXU time
-    is a few % of the kernel); precise=False rounds to bf16 (8 bits).
+    precise=True splits the f32 operand x == hi + lo (hi = bf16(x),
+    recovering ~17 mantissa bits) and STACKS the halves along the
+    contraction axis: mm multiplies against a doubled matrix A2 = [A | A]
+    in ONE matmul with contraction 2E. For the reference code 2E = 384 =
+    3x128 MXU chunks exactly, vs two separate passes each padding E=192 to
+    2x128 — 6 tile passes instead of 8, measured 26-37% faster than the
+    two-pass formulation at identical arithmetic (tools/proto_r3.py; the
+    halves accumulate in the same f32 accumulator, so only the summation
+    order across the hi/lo boundary can differ from two passes, by <= 1
+    ulp). precise=False rounds the operand to bf16 (8 bits) and multiplies
+    against the single-width matrix.
+
+    Callers split once per loop iteration and may reuse the split operand
+    across several mm calls (the early-exit path multiplies the same
+    messages by both the Gram and the edge->variable matrix).
     """
-    dg = (((0,), (0,)), ((), ()))
-
     if precise:
-        def mm(a, b):
-            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
-            bl = b - bh
-            return (jnp.dot(a, bh, preferred_element_type=jnp.float32)
-                    + jnp.dot(a, bl, preferred_element_type=jnp.float32))
-
-        def mmT(a, b):
-            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
-            bl = b - bh
-            return (jax.lax.dot_general(a, bh, dg,
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(a, bl, dg,
-                                          preferred_element_type=jnp.float32))
+        def split(x):
+            hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            return jnp.concatenate([hi, x - hi], axis=0)   # (2E, Bt)
     else:
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        def split(x):
+            return x
 
-        def mmT(a, b):
-            return jax.lax.dot_general(a, b, dg,
-                                       preferred_element_type=jnp.float32)
-    return mm, mmT
+    def mm(a, s):
+        return jnp.dot(a, s, preferred_element_type=jnp.float32)
+
+    return split, mm
 
 
 def _pad_done(n_valid: int, Bt: int):
@@ -326,11 +334,12 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
                             out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
-    mm, _mmT = _make_mm(precise)
+    split, mm = _make_split_mm(precise)
     r = -rx_ref[:]                          # (N, Bt)
-    bcm = bcm_ref[:]                        # (N, E)
-    G = gram_ref[:]                         # (E, E) edge Gram: bcm.T @ bcm
-    padbig = padbig_ref[:]                  # (E, 1): +1e30 on pads else 0
+    bcm2 = bcm_ref[:]                       # (N, E); precise: (N, 2E)=[b|b]
+    bcm = bcm2[:, :E]
+    G2 = gram_ref[:]                        # (E, E) edge Gram bcm.T @ bcm;
+    padbig = padbig_ref[:]                  # precise: (E, 2E) = [G | G]
     deg = jnp.sum(bcm, axis=1, keepdims=True)
     degr = deg * r
 
@@ -366,11 +375,11 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         def body(_i, carry):
             Mmsg, _Em = carry
             Em = check_step(Mmsg)
-            Mnew = base + mm(G, Em)
+            Mnew = base + mm(G2, split(Em))
             return Mnew, Em
         _, Em = jax.lax.fori_loop(0, iterations, body,
                                   (Mmsg0, jnp.zeros_like(Mmsg0)))
-        L = mm(bcm, Em) + degr
+        L = mm(bcm2, split(Em)) + degr
         out_ref[:] = (L <= 0).astype(jnp.int8)
         return
 
@@ -386,8 +395,9 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
     def wbody(carry):
         i, Mmsg, L, done = carry
         Em = check_step(Mmsg)
-        Lnew = mm(bcm, Em) + degr
-        Mnew = base + mm(G, Em)
+        S = split(Em)   # one split feeds both aggregations
+        Lnew = mm(bcm2, S) + degr
+        Mnew = base + mm(G2, S)
         L = jnp.where(done > 0, L, Lnew)
         vhat_f = (Lnew <= 0).astype(jnp.float32)
         done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
@@ -407,11 +417,12 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
     Bt = rx_ref.shape[1]
     E = Wr * M
     big = jnp.float32(np.finfo(np.float32).max)
-    mm, _mmT = _make_mm(precise)
+    split, mm = _make_split_mm(precise)
     Lci = -rx_ref[:]
-    bcm = bcm_ref[:]
-    G = gram_ref[:]                         # (E, E) edge Gram: bcm.T @ bcm
-    padbig = padbig_ref[:]
+    bcm2 = bcm_ref[:]                       # (N, E); precise: (N, 2E)=[b|b]
+    bcm = bcm2[:, :E]
+    G2 = gram_ref[:]                        # (E, E) edge Gram bcm.T @ bcm;
+    padbig = padbig_ref[:]                  # precise: (E, 2E) = [G | G]
 
     def gather(x):  # one-hot row gather, exact (HIGHEST = full f32)
         return jax.lax.dot_general(bcm, x, (((0,), (0,)), ((), ())),
@@ -443,11 +454,11 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         def body(_i, carry):
             Lq, _Lr = carry
             Lr = check_step(Lq)
-            Lq_new = base + mm(G, Lr)
+            Lq_new = base + mm(G2, split(Lr))
             return Lq_new, Lr
         _, Lr = jax.lax.fori_loop(0, iterations, body,
                                   (Lq0, jnp.zeros_like(Lq0)))
-        LQ = Lci + mm(bcm, Lr)
+        LQ = Lci + mm(bcm2, split(Lr))
         out_ref[:] = (LQ < 0).astype(jnp.int8)
         return
 
@@ -463,8 +474,9 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
     def wbody(carry):
         i, Lq, LQ, done = carry
         Lr = check_step(Lq)
-        LQ_new = Lci + mm(bcm, Lr)
-        Lq_new = base + mm(G, Lr)
+        S = split(Lr)   # one split feeds both aggregations
+        LQ_new = Lci + mm(bcm2, S)
+        Lq_new = base + mm(G2, S)
         Lq = jnp.where(done > 0, Lq, Lq_new)
         LQ = jnp.where(done > 0, LQ, LQ_new)
         vhat_f = (LQ_new < 0).astype(jnp.float32)
@@ -515,13 +527,20 @@ def _run_fast(kernel_body, rx, code, iterations, block_b, interpret, precise,
               early_exit, extra_args=()):
     bcm_np, gram_np, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
+    if precise:
+        # doubled matrices for the stacked hi/lo aggregation: one matmul
+        # with contraction 2E instead of two E-contraction passes (see
+        # _make_split_mm)
+        bcm_np = np.concatenate([bcm_np, bcm_np], axis=1)     # (N, 2E)
+        gram_np = np.concatenate([gram_np, gram_np], axis=1)  # (E, 2E)
     B = rx.shape[0]
     Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
     return _launch(
         functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
                           early_exit, B, *extra_args),
         rx, N,
-        [(jnp.asarray(bcm_np), (N, E)), (jnp.asarray(gram_np), (E, E)),
+        [(jnp.asarray(bcm_np), bcm_np.shape),
+         (jnp.asarray(gram_np), gram_np.shape),
          (jnp.asarray(padbig_np), (E, 1)), (Hf, (code.M, N))],
         block_b, interpret)
 

@@ -16,6 +16,8 @@ from gr_ldpc_ece535a_tpu.blocks import (
     ChannelModelBlock,
     CostasLoopBlock,
     FlowGraph,
+    FreqRecoveryBlock,
+    PfbClockSyncBlock,
     LdpcDecoderBlock,
     LdpcEncoderBlock,
     PulseShapeBlock,
@@ -96,4 +98,138 @@ def test_full_example4_chain_streaming():
     # the loops need some symbols to lock, so the head of the message may be
     # lost before IN_SYNC; require the tail 3/4 to be recovered contiguously
     assert msg[len(msg) // 4 :] in out
+    assert dec.state in (1, 2)  # locked (possibly phase-inverted)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: fractional resampling, coarse CFO, PFB clock recovery
+# ---------------------------------------------------------------------------
+
+def _tail_symbol_accuracy(y, bits, lag_range=80):
+    """Best hard-decision agreement (either BPSK polarity) over the tail
+    half of the recovered symbol stream, searched over integer lags."""
+    yh = np.sign(np.asarray(y).real)
+    b = 2.0 * np.asarray(bits, np.float64) - 1.0
+    n2 = len(yh) // 2
+    best = 0.0
+    for lag in range(-lag_range, lag_range + 1):
+        rs = n2 - lag
+        if rs < 0:
+            continue
+        ref = b[rs:rs + len(yh) - n2]
+        seg = yh[n2:n2 + len(ref)]
+        if len(seg) < 100:
+            continue
+        best = max(best, np.mean(seg == ref), np.mean(seg == -ref))
+    return best
+
+
+def _shaped_bpsk(nsym=20000, sps=2, seed=0):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, nsym)
+    syms = (2.0 * bits - 1.0).astype(np.complex64)
+    taps = dsp.rrc_taps(sps, 0.35, 45)
+    return bits, np.asarray(dsp.pulse_shape(jnp.asarray(syms), sps, taps))
+
+
+def test_fractional_resample_frequency_scaling():
+    """y[k] = x(k*ratio): a tone at f must come out at f*ratio (this pins
+    the polyphase bank's delay DIRECTION — the reversed convention shows a
+    sawtooth phase error and fails this by orders of magnitude)."""
+    f = 0.11
+    x = np.exp(2j * np.pi * f * np.arange(3000)).astype(np.complex64)
+    for ratio in (1 + 50e-6, 1 - 50e-6, 1.01):
+        y = np.asarray(dsp.fractional_resample(jnp.asarray(x), ratio))
+        ph = np.unwrap(np.angle(y[50:-50]))
+        slope = np.polyfit(np.arange(len(ph)), ph, 1)[0] / (2 * np.pi)
+        assert abs(slope - f * ratio) < 1e-6, ratio
+
+
+def test_fractional_resample_half_sample_delay():
+    f = 0.09
+    x = np.exp(2j * np.pi * f * np.arange(2000)).astype(np.complex64)
+    y = np.asarray(dsp.fractional_resample(jnp.asarray(x), 1.0, t0=0.5))
+    c = 4  # (ntaps_per//2) group delay of the default 8-tap bank
+    ideal = np.exp(2j * np.pi * f * (0.5 + np.arange(len(y)) + c))
+    assert np.abs(y[50:-50] - ideal[50:-50]).max() < 0.02
+
+
+@pytest.mark.parametrize("f0", [0.001, 0.01, 0.05, -0.02])
+def test_coarse_cfo_estimate(f0):
+    """The fll_band_edge-role coarse acquisition must localize carrier
+    offsets far beyond the Costas pull-in range (example4.grc chain,
+    SURVEY.md section 3.4)."""
+    _, tx = _shaped_bpsk(nsym=30000)
+    rng = np.random.default_rng(1)
+    rx = np.asarray(dsp.mix(jnp.asarray(tx), -f0))  # inject +f0
+    rx = rx + (rng.standard_normal(len(rx)) * 0.1).astype(np.complex64)
+    fe = float(dsp.coarse_cfo_estimate(jnp.asarray(rx)))
+    assert abs(fe - f0) < 1e-4
+
+
+@pytest.mark.parametrize("name,ratio,skip,noise", [
+    ("clean", 1.0, 0, 0.0),
+    ("+50ppm", 1 + 50e-6, 0, 0.05),
+    ("-50ppm", 1 - 50e-6, 3, 0.05),
+    ("+200ppm", 1 + 200e-6, 1, 0.05),
+])
+def test_pfb_clock_sync_tracks_drift(name, ratio, skip, noise):
+    """Fractional timing recovery: a +-50/200 ppm sample-clock drift plus
+    an arbitrary initial offset must be acquired and tracked with ~zero
+    tail symbol errors (the pfb_clock_sync role the round-2 VERDICT flagged
+    as missing — the integer-phase symbol_sync breaks under any drift)."""
+    bits, tx = _shaped_bpsk()
+    rng = np.random.default_rng(2)
+    rx = np.asarray(dsp.fractional_resample(jnp.asarray(tx), ratio))[skip:]
+    rx = rx + (rng.standard_normal(len(rx)) * noise).astype(np.complex64)
+    y, _state = dsp.pfb_clock_sync(jnp.asarray(rx), sps=2)
+    assert _tail_symbol_accuracy(y, bits) >= 0.9995, name
+
+
+def test_pfb_plus_vv_carrier_survives_cfo_and_drift():
+    """Composed coarse-CFO -> timing -> feedforward carrier recovery at
+    freq_offset 0.01 (20x the old example4_full operating point) AND
+    +50 ppm clock drift."""
+    bits, tx = _shaped_bpsk()
+    rng = np.random.default_rng(3)
+    rx = np.asarray(dsp.fractional_resample(jnp.asarray(tx), 1 + 50e-6))
+    rx = np.asarray(dsp.mix(jnp.asarray(rx), -0.01))
+    rx = rx + (rng.standard_normal(len(rx)) * 0.05).astype(np.complex64)
+    rxj = jnp.asarray(rx)
+    fe = dsp.coarse_cfo_estimate(rxj)
+    y, _ = dsp.pfb_clock_sync(dsp.mix(rxj, fe), sps=2)
+    y = dsp.vv_carrier_recovery(y)
+    assert _tail_symbol_accuracy(y, bits) >= 0.9995
+
+
+def test_block_agc_normalizes():
+    _, tx = _shaped_bpsk(nsym=3000)
+    y = np.asarray(dsp.block_agc(jnp.asarray(3.7 * tx)))
+    assert abs(np.sqrt(np.mean(np.abs(y) ** 2)) - 1.0) < 0.05
+
+
+def test_full_chain_blocks_with_cfo_and_clock_drift():
+    """example4_full.yaml regime at stream-block level: freq_offset 0.01 +
+    50 ppm sample-clock drift + noise through enc -> pulse_shape -> channel
+    -> AGC -> fll_band_edge -> pfb_clock_sync -> costas -> decoder. The
+    round-2 chain (integer-phase symbol_sync, Costas-only carrier) cannot
+    survive either impairment."""
+    msg = (b"Round-3 chain: coarse CFO + fractional timing recovery! " * 64)
+    fg = FlowGraph()
+    src = VectorSource(np.frombuffer(msg, np.uint8), chunk=512)
+    enc = LdpcEncoderBlock()
+    tx = PulseShapeBlock(sps=2)
+    chan = ChannelModelBlock(noise_voltage=0.05, freq_offset=0.01,
+                             phase_offset=2.5, epsilon=1 + 50e-6, seed=4)
+    agc = AgcBlock2(rate=2e-2)
+    fll = FreqRecoveryBlock(lock_samples=8192)
+    timing = PfbClockSyncBlock(sps=2, segment=8192)
+    costas = CostasLoopBlock(loop_bw=0.08)
+    dec = LdpcDecoderBlock(method=0, error_threshold=0, verbose=False)
+    snk = VectorSink(np.uint8)
+    fg.connect(src, enc, tx, chan, agc, fll, timing, costas, dec, snk)
+    fg.run()
+    out = bytes(snk.data())
+    # acquisition consumes the head; require a long contiguous tail
+    assert msg[len(msg) // 2:] in out
     assert dec.state in (1, 2)  # locked (possibly phase-inverted)
