@@ -13,6 +13,8 @@ from .io import (
     ImageSink,
     NullSink,
     RandomSource,
+    TcpBroadcastSink,
+    TcpSource,
     Throttle,
     VectorSink,
     VectorSource,
@@ -42,6 +44,8 @@ __all__ = [
     "NullSink",
     "PlotSink",
     "RandomSource",
+    "TcpBroadcastSink",
+    "TcpSource",
     "Throttle",
     "VectorSink",
     "VectorSource",

@@ -52,6 +52,8 @@ BLOCK_REGISTRY: dict[str, type[Block]] = {
     "null_sink": _io.NullSink,
     "head": _io.Head,
     "image_sink": _io.ImageSink,
+    "tcp_sink": _io.TcpBroadcastSink,
+    "tcp_source": _io.TcpSource,
     "channel_model": _channel.ChannelModelBlock,
     "awgn": _channel.AwgnBlock,
     "bpsk_mod": _dsp.BpskModBlock,

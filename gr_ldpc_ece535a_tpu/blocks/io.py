@@ -27,6 +27,8 @@ __all__ = [
     "NullSink",
     "Head",
     "ImageSink",
+    "TcpBroadcastSink",
+    "TcpSource",
 ]
 
 # DIB header sizes accepted by the reference's BMP scan
@@ -378,3 +380,161 @@ class ImageSink(Block):
             self._drain_native()
         else:
             self._flush_image()
+
+
+class TcpBroadcastSink(Block):
+    """Stream items to any connected TCP client; drop them when nobody
+    listens — the radio-transmitter semantic of the reference's only true
+    multi-node deployment (/root/reference/examples/transmitter.grc:1,
+    uhd_usrp_sink: the carrier radiates whether or not a receiver is
+    tuned). A receiver that connects mid-run joins mid-stream at an
+    arbitrary symbol offset, exactly the acquisition problem the decoder's
+    sync state machine solves.
+
+    Listens on (host, port) from start(); accepts any number of clients,
+    non-blocking; a client that disconnects (or stalls past its TCP window
+    + sndbuf) is dropped without disturbing the stream.
+    """
+
+    out_dtype = None
+    name = "tcp_sink"
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 dtype=np.complex64) -> None:
+        super().__init__()
+        self.in_dtype = np.dtype(dtype)
+        self.host, self.port = host, int(port)
+        self._srv = None
+        self._clients: list = []
+
+    def start(self) -> None:
+        import socket
+
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind((self.host, self.port))
+        self._srv.listen(4)
+        self._srv.setblocking(False)
+
+    def _accept(self) -> None:
+        while True:
+            try:
+                c, _addr = self._srv.accept()
+            except (BlockingIOError, OSError):
+                return
+            c.setblocking(True)
+            self._clients.append(c)
+
+    def work(self, data):
+        n = len(data)
+        if n == 0:
+            return 0, None
+        self._accept()
+        payload = np.ascontiguousarray(np.asarray(data, self.in_dtype)
+                                       ).tobytes()
+        alive = []
+        for c in self._clients:
+            try:
+                c.sendall(payload)
+                alive.append(c)
+            except OSError:
+                try:
+                    c.close()
+                except OSError:
+                    pass
+        self._clients = alive
+        return n, None
+
+    def stop(self) -> None:
+        for c in self._clients:
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._clients = []
+        if self._srv is not None:
+            try:
+                self._srv.close()
+            except OSError:
+                pass
+            self._srv = None
+
+
+class TcpSource(Block):
+    """Receive a typed item stream from a TcpBroadcastSink (the
+    uhd_usrp_source role of /root/reference/examples/receiver.grc:1).
+
+    Connects at start() (with retries while the transmitter comes up);
+    reads whatever bytes are available each work() call, reassembling whole
+    items across chunk boundaries; ``done`` on EOF (transmitter closed).
+    """
+
+    in_dtype = None
+    name = "tcp_source"
+
+    def __init__(self, port: int, host: str = "127.0.0.1",
+                 dtype=np.complex64, connect_timeout: float = 10.0,
+                 max_items: Optional[int] = None) -> None:
+        super().__init__()
+        self.out_dtype = np.dtype(dtype)
+        self.host, self.port = host, int(port)
+        self.connect_timeout = float(connect_timeout)
+        self.max_items = max_items
+        self._sock = None
+        self._tail = b""
+        self._count = 0
+
+    def start(self) -> None:
+        import socket
+
+        deadline = time.monotonic() + self.connect_timeout
+        last_err: Optional[OSError] = None
+        while time.monotonic() < deadline:
+            try:
+                self._sock = socket.create_connection(
+                    (self.host, self.port), timeout=1.0)
+                self._sock.setblocking(False)
+                return
+            except OSError as e:
+                last_err = e
+                time.sleep(0.05)
+        raise ConnectionError(
+            f"tcp_source: no transmitter at {self.host}:{self.port} within "
+            f"{self.connect_timeout}s") from last_err
+
+    def work(self, data):
+        if self.done or self._sock is None:
+            return 0, None
+        chunks = [self._tail]
+        while True:
+            try:
+                b = self._sock.recv(1 << 16)
+            except BlockingIOError:
+                break
+            except OSError:
+                b = b""
+            if not b:  # EOF: transmitter closed
+                self.done = True
+                break
+            chunks.append(b)
+        buf = b"".join(chunks)
+        isz = self.out_dtype.itemsize
+        n_items = len(buf) // isz
+        self._tail = buf[n_items * isz:]
+        if self.max_items is not None:
+            n_items = min(n_items, self.max_items - self._count)
+            if self._count + n_items >= self.max_items:
+                self.done = True
+        if n_items <= 0:
+            return 0, None
+        self._count += n_items
+        out = np.frombuffer(buf[: n_items * isz], self.out_dtype)
+        return 0, out
+
+    def stop(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            self._sock = None

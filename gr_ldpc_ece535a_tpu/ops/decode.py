@@ -364,20 +364,23 @@ def make_decoder(
     seconds per call through a remote-compile daemon).
 
     backend: "xla" (default — the bit-exactness path, any platform/dtype),
-    "pallas" (VMEM-resident precise kernel, BP methods on TPU — ~15x the
-    throughput at matched hard decisions), or "auto" (pallas when the
+    "pallas" (VMEM-resident precise kernel, BP methods on TPU — ~25x the
+    throughput at matched hard decisions), "pallas_fast" (bf16-aggregation
+    kernel, ~1.5x "pallas" again; >=99% frame agreement — for syndrome-
+    gated consumers like the stream receiver, where a mis-decode is caught
+    and dropped by the frame accept check), or "auto" (pallas when the
     default backend is a TPU, the method is a BP method, and the code fits
-    the VMEM-resident kernels — pallas_bp.MAX_EDGE_SLOTS; xla otherwise).
+    the VMEM-resident kernels — layout.MAX_EDGE_SLOTS; xla otherwise).
     """
     if isinstance(method, int):
         method = METHODS[method]
-    if backend not in ("xla", "pallas", "auto"):
+    if backend not in ("xla", "pallas", "pallas_fast", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "xla" and method in ("minsum", "sumproduct"):
         from .layout import MAX_EDGE_SLOTS, edge_slots, pallas_supported
         on_tpu = jax.devices()[0].platform == "tpu"
         fits = pallas_supported(code)
-        if not fits and backend == "pallas":
+        if not fits and backend in ("pallas", "pallas_fast"):
             # fail at construction, not at first trace (docs/guide.md promise)
             raise ValueError(
                 f"code {code.name!r} has {edge_slots(code)} edge slots; the "
@@ -385,7 +388,7 @@ def make_decoder(
                 f"{MAX_EDGE_SLOTS} slots. Use backend='xla' or 'auto'.")
         if not fits and backend == "auto":
             pass  # code too large for the VMEM-resident kernels -> XLA path
-        elif backend == "pallas" or on_tpu:
+        elif backend in ("pallas", "pallas_fast") or on_tpu:
             # pallas import deferred to here: backend="auto" on hosts where
             # jax.experimental.pallas cannot import still gets the XLA path
             from .pallas_bp import (
@@ -393,9 +396,14 @@ def make_decoder(
             pfn = (pallas_decode_minsum if method == "minsum"
                    else pallas_decode_sumproduct)
             fn = functools.partial(
-                pfn, code=code, iterations=iterations, mode="precise",
+                pfn, code=code, iterations=iterations,
+                mode="fast" if backend == "pallas_fast" else "precise",
                 early_exit=early_exit)
             return jax.jit(fn) if jit else fn
+    elif backend == "pallas_fast":
+        raise ValueError(
+            f"backend='pallas_fast' supports minsum/sumproduct, not "
+            f"{method!r}")
     elif backend == "pallas":
         raise ValueError(
             f"backend='pallas' supports minsum/sumproduct, not {method!r}")

@@ -41,6 +41,7 @@ __all__ = [
     "mix",
     "pfb_clock_sync",
     "vv_carrier_recovery",
+    "rx_chain",
 ]
 
 
@@ -435,3 +436,28 @@ def vv_carrier_recovery(syms: jax.Array, block: int = 64) -> jax.Array:
     t = jnp.arange(n, dtype=jnp.float32)
     phi = jnp.interp(t, centers, ph)
     return (syms * jnp.exp(-1j * phi)).astype(jnp.complex64)
+
+
+def rx_chain(x: jax.Array, sps: int = 2, excess_bw: float = 0.35,
+             nfilts: int = 32, agc_block: int = 256,
+             carrier_block: int = 64, max_freq: float = 0.2) -> jax.Array:
+    """Device-resident receive chain: AGC -> coarse CFO -> polyphase timing
+    -> carrier recovery, returning 1-sample/symbol soft BPSK symbols.
+
+    The example4.grc chain (agc2 -> fll_band_edge -> pfb_clock_sync ->
+    costas_loop, SURVEY.md section 3.4) recomposed TPU-first: every
+    feedback loop that can be a feedforward estimator is one (block AGC,
+    squaring-FFT CFO, Viterbi&Viterbi carrier), and the one true tracking
+    loop (clock recovery) scans per 64-symbol block, not per sample. The
+    whole chain jits as one program; compose with
+    parallel.StreamReceiver.receive (which takes the returned device array
+    directly) for frame sync + mesh-sharded decode. The pi phase ambiguity
+    of the carrier recovery is absorbed by the receiver's inverted-sync
+    handling, exactly as the reference's Costas ambiguity is.
+    """
+    x = block_agc(x, block=agc_block)
+    f = coarse_cfo_estimate(x, max_freq=max_freq)
+    x = mix(x, f)
+    y, _state = pfb_clock_sync(x, sps=sps, nfilts=nfilts,
+                               excess_bw=excess_bw)
+    return vv_carrier_recovery(y, block=carrier_block)

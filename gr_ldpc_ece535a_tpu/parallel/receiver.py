@@ -85,6 +85,7 @@ class ReceiveResult:
     n_frames: int                # complete frames after the lock point
     accepted: np.ndarray         # (n_frames,) bool, syndrome <= threshold
     weights: np.ndarray          # (n_frames,) syndrome weights
+    timings: Optional[dict] = None  # wall breakdown: acquire/decode_fetch/host (s)
 
 
 def acquire(
@@ -112,20 +113,29 @@ def acquire(
     """
     N = code.N
     threshold = code.M // 8 if threshold is None else threshold
-    head = np.asarray(stream, np.float32)
-    n_off = len(head) - N + 1
+    is_dev = isinstance(stream, jax.Array) and not isinstance(
+        stream, np.ndarray)
+    if is_dev:
+        head = stream  # device-resident: only the weight tensor is fetched
+        head_len = int(head.shape[0])
+    else:
+        head = np.asarray(stream, np.float32)
+        head_len = len(head)
+    n_off = head_len - N + 1
     if window is not None:
         n_off = min(n_off, window)
     if n_off <= 0:
         return None
     # fast path: when the head covers full verify windows for every
     # candidate offset, search + verify run as ONE device call on the
-    # uploaded head (one upload, one dispatch, one small weight fetch)
+    # (already-uploaded, for device streams) head; only the small weight
+    # tensor crosses to the host
     if verify_frames > 0:
         run_f, need = _acquire_fused(code, method, iterations, n_off,
                                      verify_frames)
-        if len(head) >= need:
-            w = np.asarray(run_f(jnp.asarray(head[:need])))  # (2, n_off, 1+vf)
+        if head_len >= need:
+            w = np.asarray(run_f(head[:need] if is_dev
+                                 else jnp.asarray(head[:need])))
             ok = w <= threshold
             hit = ok.all(axis=2)                             # lock + verify
             for o in np.nonzero(hit[0] | hit[1])[0]:
@@ -133,6 +143,8 @@ def acquire(
                 return Acquisition(offset=int(o), inverted=bool(pol),
                                    weight=int(w[pol, o, 0]))
             return None
+    if is_dev:  # the sliding-window fallback is host-side
+        head = np.asarray(head, np.float32)
     frames = np.lib.stride_tricks.sliding_window_view(
         head[: n_off + N - 1], N)[:n_off]
     batch = np.concatenate([frames, -frames]).astype(np.float32)
@@ -194,6 +206,7 @@ class StreamReceiver:
         threshold: Optional[int] = None,
         acquire_window: int = 1024,
         stream_axis: str = "stream",
+        kernel_mode: str = "fast",
     ) -> None:
         self.code = code or get_code("block_32_64")
         self.mesh = mesh or make_mesh((stream_axis,))
@@ -202,6 +215,11 @@ class StreamReceiver:
         self.threshold = (self.code.M // 8 if threshold is None else threshold)
         self.acquire_window = acquire_window
         self.stream_axis = stream_axis
+        # "fast" = bf16-aggregation pallas kernels for the body decode: the
+        # per-frame syndrome accept check (below) catches the <1% marginal
+        # frames that decode differently, so the stream path takes the
+        # throughput; pass "precise" for matched-decision kernels
+        self.kernel_mode = kernel_mode
         self._S = mesh_axis_sizes(self.mesh)[stream_axis]
 
     def receive(self, symbols) -> ReceiveResult:
@@ -214,19 +232,23 @@ class StreamReceiver:
         payload bytes plus per-frame syndrome weights come back — the
         host<->device traffic is O(head + decoded bytes), not O(stream).
         """
+        import time
+
         code, N = self.code, self.code.N
         on_device = isinstance(symbols, jax.Array) and not isinstance(
             symbols, np.ndarray)
         packed_ok = code.K % 8 == 0
+        t0 = time.perf_counter()
         if on_device:
             dev = symbols
             if jnp.iscomplexobj(dev):
                 dev = jnp.real(dev)
             dev = dev.astype(jnp.float32)
             T = int(dev.shape[0])
-            # acquisition needs only the head on host
+            # acquisition runs on the device-resident head; only its weight
+            # tensor crosses to the host (acquire()'s device path)
             head_len = min(T, self.acquire_window + 6 * N)
-            head = np.asarray(dev[:head_len])
+            head = dev[:head_len]
         else:
             head = reals = np.ascontiguousarray(
                 np.real(np.asarray(symbols)), np.float32)
@@ -235,16 +257,19 @@ class StreamReceiver:
             head, code,
             method=self.method, iterations=self.iterations,
             threshold=self.threshold, window=self.acquire_window)
+        t_acquire = time.perf_counter() - t0
         if acq is None:
             return ReceiveResult(
                 data=b"", acquisition=None, n_frames=0,
-                accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32))
+                accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32),
+                timings={"acquire_s": t_acquire})
         # frames fully contained in the stream from the lock point
         n_valid = (T - acq.offset) // N
         # pad to a whole number of frame periods per shard (padding symbols
         # only feed frames that are dropped below)
         chunk = self._S * N
         T_padded = ((T + chunk - 1) // chunk) * chunk
+        t0 = time.perf_counter()
         if on_device:
             stream_dev = -dev if acq.inverted else dev
             stream_dev = jnp.pad(stream_dev, (0, T_padded - T))
@@ -257,17 +282,26 @@ class StreamReceiver:
         out, w = shard_stream_decode(
             stream_dev, code, self.mesh, method=self.method,
             iterations=self.iterations, offset=acq.offset,
-            stream_axis=self.stream_axis, return_packed=packed_ok)
-        w = np.asarray(w)[:n_valid].astype(np.int32)
+            stream_axis=self.stream_axis, return_packed=packed_ok,
+            kernel_mode=self.kernel_mode)
+        # one combined transfer for payload + weights (each np.asarray
+        # would round-trip the tunnel separately)
+        out_np, w_np = jax.device_get((out, w))
+        t_decode = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        w = w_np[:n_valid].astype(np.int32)
         accepted = w <= self.threshold
         if packed_ok:
-            packed = np.asarray(out)[:n_valid]  # (F, K//8) uint8
+            packed = out_np[:n_valid]           # (F, K//8) uint8
             payload = packed[accepted].reshape(-1).tobytes()
         else:
-            vhat = np.asarray(out)[:n_valid]
+            vhat = out_np[:n_valid]
             data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
             payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
                        if data_bits.size else b"")
+        t_host = time.perf_counter() - t0
         return ReceiveResult(
             data=payload, acquisition=acq, n_frames=int(n_valid),
-            accepted=accepted, weights=w)
+            accepted=accepted, weights=w,
+            timings={"acquire_s": t_acquire, "decode_fetch_s": t_decode,
+                     "host_s": t_host})

@@ -66,6 +66,7 @@ def shard_stream_decode(
     stream_axis: str = "stream",
     decode_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     return_packed: bool = False,
+    kernel_mode: str = "precise",
 ) -> tuple[jax.Array, jax.Array]:
     """Decode a (T,) real symbol stream sharded into time blocks with halo.
 
@@ -85,6 +86,11 @@ def shard_stream_decode(
     the stream head — its decode is garbage by construction; callers must
     drop frames whose global end offset + (k+1)*N exceeds T (there is
     exactly one such frame iff offset > 0).
+
+    kernel_mode (TPU mesh + BP methods only): "precise" (matched-decision
+    pallas kernels) or "fast" (bf16 aggregation, ~1.5x throughput; the
+    caller's syndrome accept-check catches and drops the <1% of marginal
+    frames that decode differently — the production stream setting).
     """
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
     N = code.N
@@ -99,27 +105,30 @@ def shard_stream_decode(
             f"return_packed requires K % 8 == 0; code has K={code.K}")
     if decode_fn is None:
         run = _sharded_stream_runner(code, mesh, method, iterations, offset,
-                                     stream_axis, return_packed)
+                                     stream_axis, return_packed, kernel_mode)
     else:
         run = _build_stream_runner(code, mesh, method, iterations, offset,
-                                   stream_axis, decode_fn, return_packed)
+                                   stream_axis, decode_fn, return_packed,
+                                   kernel_mode)
     return run(jnp.asarray(symbols, jnp.float32))
 
 
 @functools.lru_cache(maxsize=None)
 def _sharded_stream_runner(code, mesh, method, iterations, offset,
-                           stream_axis, return_packed=False):
+                           stream_axis, return_packed=False,
+                           kernel_mode="precise"):
     """Memoized JITTED sharded runner: rebuilding shard_map+jit per call
     would re-trace (and, unjitted, dispatch op-by-op — catastrophic on
     remote/tunneled devices). The frame-grid offset is static (baked into
     the compilation, one cache entry per lock offset): a traced offset
     trips a FAILED_PRECONDITION in the TPU backend under shard_map."""
     return _build_stream_runner(code, mesh, method, iterations, offset,
-                                stream_axis, None, return_packed)
+                                stream_axis, None, return_packed, kernel_mode)
 
 
 def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
-                         decode_fn, return_packed=False):
+                         decode_fn, return_packed=False,
+                         kernel_mode="precise"):
     S = dict(zip(mesh.axis_names, mesh.devices.shape))[stream_axis]
     N = code.N
     # Route on the MESH's device platform, not the process default:
@@ -127,9 +136,15 @@ def _build_stream_runner(code, mesh, method, iterations, offset, stream_axis,
     # CPU mesh (the axon plugin keeps the TPU registered even under
     # JAX_PLATFORMS=cpu), and Pallas kernels lowered for CPU devices fail.
     on_tpu = all(d.platform == "tpu" for d in mesh.devices.flat)
+    is_bp = method in (0, 1, "minsum", "sumproduct")
+    if on_tpu:
+        backend = ("pallas_fast" if (kernel_mode == "fast" and is_bp)
+                   else "auto")
+    else:
+        backend = "xla"
     dec = decode_fn or make_decoder(
         code, method=method, iterations=iterations, jit=False,
-        backend="auto" if on_tpu else "xla")
+        backend=backend)
 
     def _shard(x: jax.Array) -> tuple[jax.Array, jax.Array]:
         # receive the right neighbor's first N-1 symbols (ring: the last

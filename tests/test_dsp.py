@@ -233,3 +233,34 @@ def test_full_chain_blocks_with_cfo_and_clock_drift():
     # acquisition consumes the head; require a long contiguous tail
     assert msg[len(msg) // 2:] in out
     assert dec.state in (1, 2)  # locked (possibly phase-inverted)
+
+
+def test_rx_chain_to_stream_receiver_end_to_end():
+    """Device-resident chain -> mesh receiver: encoded payload through
+    pulse shaping, 50 ppm clock drift, 0.01 carrier offset and noise, then
+    ops.dsp.rx_chain (AGC/CFO/timing/carrier) feeding
+    parallel.StreamReceiver (frame sync + sharded decode). The recovered
+    byte stream must contain the transmitted payload contiguously."""
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    code = get_code("block_32_64")
+    msg = (b"rx_chain + StreamReceiver: the device-resident example4! " * 40)
+    data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+    tx_syms = np.asarray(encode_to_symbols(jnp.asarray(data), code)
+                         ).reshape(-1)
+    taps = dsp.rrc_taps(2, 0.35, 45)
+    shaped = np.asarray(dsp.pulse_shape(jnp.asarray(tx_syms), 2, taps))
+    rng = np.random.default_rng(9)
+    rx = np.asarray(dsp.fractional_resample(jnp.asarray(shaped), 1 + 50e-6))
+    rx = np.asarray(dsp.mix(jnp.asarray(rx), -0.01))
+    rx = 2.5 * (rx + (rng.standard_normal(len(rx)) * 0.05
+                      ).astype(np.complex64))
+
+    syms = dsp.rx_chain(jnp.asarray(rx), sps=2)
+    recv = StreamReceiver(code=code, iterations=8)
+    out = recv.receive(syms)
+    assert out.acquisition is not None, "receiver never locked"
+    # acquisition consumes the chain-settle head; the tail must be intact
+    assert msg[len(msg) // 2:] in out.data

