@@ -140,7 +140,7 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
 
 
 def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
-                  n_batches: int = 8):
+                  n_batches: int = 8, remaining=None):
     """On-TPU hard-decision parity counters (round-2 VERDICT item 2).
 
     Decodes n_batches * batch fresh AWGN frames (Eb/N0 4 dB) with the
@@ -169,21 +169,31 @@ def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
         ("sumproduct", pallas_decode_sumproduct, decode_sumproduct),
         ("minsum", pallas_decode_minsum, decode_minsum),
     ):
+        if remaining is not None and remaining() < 60.0:
+            out[f"mismatch_precise_{name}"] = "skipped: budget"
+            continue
         pf = jax.jit(lambda r, f=pfn: f(r, code, iterations=iterations,
                                         mode="precise", early_exit=True))
         ff = jax.jit(lambda r, f=pfn: f(r, code, iterations=iterations,
                                         mode="fast", early_exit=True))
         xf = jax.jit(lambda r, f=xfn: f(r, code, iterations=iterations,
                                         early_exit=True))
-        mp = mf = 0
+        mp = mf = done = 0
         for i in range(n_batches):
+            if done and remaining is not None and remaining() < 20.0:
+                break  # record what we measured; count below is honest
             rx = _make_inputs(code, batch, jax.random.PRNGKey(1000 + i))
             vx = xf(rx)
             mp += int(mism(pf(rx), vx))
             mf += int(mism(ff(rx), vx))
+            done += 1
         out[f"mismatch_precise_{name}"] = mp
         out[f"mismatch_fast_{name}"] = mf
+        out[f"parity_frames_{name}"] = done * batch
+        out["parity_frames"] = min(out["parity_frames"], done * batch)
     # fixed-iteration wander (one batch, sum-product)
+    if remaining is not None and remaining() < 45.0:
+        return out
     pfix = jax.jit(lambda r: pallas_decode_sumproduct(
         r, code, iterations=iterations, mode="precise"))
     xfix = jax.jit(lambda r: decode_sumproduct(
@@ -262,7 +272,8 @@ def main() -> None:
         errors["parity"] = "skipped: bench budget exhausted"
     else:
         try:
-            parity = _bench_parity(code, iterations=iterations)
+            parity = _bench_parity(code, iterations=iterations,
+                                   remaining=remaining)
         except Exception as e:  # noqa: BLE001
             errors["parity"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -1,21 +1,28 @@
 """DSP ops for the full receiver chain: pulse shaping, AGC, carrier/timing
-recovery.
+recovery, fractional resampling.
 
 The reference's example4/5/6.grc route the BPSK symbols through GNU Radio
 stock DSP at 2 samples/symbol — pfb_arb_resampler with RRC taps, channel
 model, agc2, fll_band_edge, pfb_clock_sync, costas_loop (SURVEY.md §3.4) —
 none of which live in the reference module itself (they are L0 externals).
-These are TPU-native equivalents sufficient to close that chain at baseband:
-filters and pulse shaping are batched convolutions; the sequential feedback
-loops (AGC, Costas) are ``lax.scan`` recurrences compiled on device; timing
-recovery exploits the integer-phase structure of the synthetic channel (no
-fractional resampling) by matched-filtering and picking the max-energy
-polyphase branch.
+This module provides TPU-native equivalents for the whole chain, in two
+styles per stage:
 
-The Costas loop follows the GR control-loop parameterization (critically
-damped 2nd-order PLL; alpha/beta from loop bandwidth) with the BPSK
-re*im error detector; its residual pi-phase ambiguity is exactly what the
-decoder's IN_SYNC_INVERTED state absorbs downstream.
+  * faithful sequential loops (``agc``, ``costas_loop``): ``lax.scan``
+    recurrences with the GR control-loop parameterization, state carried
+    across stream chunks by the blocks layer;
+  * feedforward/batched redesigns for the device-resident fast path
+    (``block_agc``, ``coarse_cfo_estimate`` = the fll_band_edge role as a
+    squaring-FFT estimator, ``vv_carrier_recovery`` = the costas role as
+    block Viterbi&Viterbi, ``pfb_clock_sync`` = per-block polyphase clock
+    tracking with batched power-search acquisition) — composed by
+    ``rx_chain``.
+
+``fractional_resample`` is the channel-side clock-drift impairment (the GR
+channel_model ``epsilon``); ``symbol_sync`` remains the cheap integer-phase
+timing recovery for drift-free synthetic channels. Every carrier-recovery
+stage leaves the BPSK pi ambiguity to the decoder's IN_SYNC_INVERTED state,
+exactly as the reference chain does.
 """
 
 from __future__ import annotations
@@ -141,9 +148,10 @@ def costas_loop(x: jax.Array, loop_bw: float = 6.28 / 100.0,
 
 def symbol_sync(x: jax.Array, sps: int, taps: np.ndarray):
     """Matched filter + integer-phase timing: downsample at the polyphase
-    branch with maximum mean energy (pfb_clock_sync's role for channels
-    without fractional timing drift, which is all the synthetic channel
-    model produces). Returns (symbols, chosen_phase)."""
+    branch with maximum mean energy — the cheap timing recovery for
+    channels WITHOUT fractional timing drift (channel epsilon == 1.0). Any
+    sample-clock drift needs ``pfb_clock_sync``, which tracks fractional
+    delay. Returns (symbols, chosen_phase)."""
     mf = fir_filter(x, taps)
     n = (mf.shape[0] // sps) * sps
     branches = mf[:n].reshape(-1, sps)          # (n_sym, sps)
