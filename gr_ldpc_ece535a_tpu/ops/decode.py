@@ -377,17 +377,24 @@ def make_decoder(
     if backend not in ("xla", "pallas", "pallas_fast", "auto"):
         raise ValueError(f"unknown backend {backend!r}")
     if backend != "xla" and method in ("minsum", "sumproduct"):
-        from .layout import MAX_EDGE_SLOTS, edge_slots, pallas_supported
+        from .layout import (MAX_EDGE_SLOTS_SPLIT, edge_slots,
+                             pallas_split_supported, pallas_supported)
         on_tpu = jax.devices()[0].platform == "tpu"
+        # explicit pallas backends accept anything the Gram OR split kernels
+        # fit; "auto" routes only Gram-envelope codes to pallas (the split
+        # path is opt-in pending broader per-code validation) and silently
+        # keeps XLA otherwise
         fits = pallas_supported(code)
-        if not fits and backend in ("pallas", "pallas_fast"):
+        fits_any = fits or pallas_split_supported(code)
+        if not fits_any and backend in ("pallas", "pallas_fast"):
             # fail at construction, not at first trace (docs/guide.md promise)
             raise ValueError(
                 f"code {code.name!r} has {edge_slots(code)} edge slots; the "
-                f"VMEM-resident pallas kernels fit codes up to "
-                f"{MAX_EDGE_SLOTS} slots. Use backend='xla' or 'auto'.")
+                f"VMEM-resident pallas kernels (Gram or split) fit codes up "
+                f"to {MAX_EDGE_SLOTS_SPLIT} slots. Use backend='xla' or "
+                f"'auto'.")
         if not fits and backend == "auto":
-            pass  # code too large for the VMEM-resident kernels -> XLA path
+            pass  # beyond the Gram envelope -> XLA path under auto
         elif backend in ("pallas", "pallas_fast") or on_tpu:
             # pallas import deferred to here: backend="auto" on hosts where
             # jax.experimental.pallas cannot import still gets the XLA path

@@ -23,7 +23,8 @@ import numpy as np
 from ..codes import LdpcCode
 
 __all__ = ["EdgeLayout", "edge_layout", "edge_slots", "pallas_supported",
-           "MAX_EDGE_SLOTS"]
+           "pallas_split_supported", "MAX_EDGE_SLOTS",
+           "MAX_EDGE_SLOTS_SPLIT"]
 
 # Largest edge-slot count the VMEM-resident pallas kernels are known to
 # compile for on a v5e (the (E, E) Gram plus the message buffers must fit
@@ -33,6 +34,23 @@ __all__ = ["EdgeLayout", "edge_layout", "edge_slots", "pallas_supported",
 # (make_decoder backend="auto" does this for you). Lives here (pure numpy)
 # so dispatch logic can consult it without importing jax.experimental.pallas.
 MAX_EDGE_SLOTS = 768
+
+# Envelope of the SPLIT pallas kernels (rectangular bcm/bcmT matmuls, VMEM
+# O(N*E + E*block) instead of the Gram's O(E^2)) — they extend coverage
+# beyond MAX_EDGE_SLOTS at ~2x the per-iteration MXU cost. The binding
+# constraint is the two (N, E)/(E, N) constant matrices plus ~4 live
+# (E, block) message buffers against the ~14 MiB usable VMEM; see
+# pallas_bp._auto_block_split.
+MAX_EDGE_SLOTS_SPLIT = 2048
+
+
+def pallas_split_supported(code: LdpcCode) -> bool:
+    """Whether the split pallas kernels fit this code (see pallas_bp)."""
+    E = edge_slots(code)
+    N = code.N
+    # constants 2*N*E*4 bytes + minimum-block (128-lane) message buffers
+    return (E <= MAX_EDGE_SLOTS_SPLIT
+            and 8 * N * E + 16 * E * 128 <= 14 * 2**20)
 
 
 def edge_slots(code: LdpcCode) -> int:

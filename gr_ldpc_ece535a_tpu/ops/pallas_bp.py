@@ -93,11 +93,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..codes import LdpcCode
-from .layout import (MAX_EDGE_SLOTS, edge_layout, edge_slots,
-                     pallas_supported)
+from .layout import (MAX_EDGE_SLOTS, MAX_EDGE_SLOTS_SPLIT, edge_layout,
+                     edge_slots, pallas_split_supported, pallas_supported)
 
 __all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct",
-           "pallas_supported", "edge_slots", "MAX_EDGE_SLOTS"]
+           "pallas_supported", "pallas_split_supported", "edge_slots",
+           "MAX_EDGE_SLOTS", "MAX_EDGE_SLOTS_SPLIT"]
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 _BIG = np.float32(1e30)
@@ -513,6 +514,190 @@ def _wmajor_layout(code: LdpcCode):
     return bcm, gram, padbig, Wr
 
 
+# ---------------------------------------------------------------------------
+# split kernels for codes whose (E, E) Gram exceeds VMEM
+# ---------------------------------------------------------------------------
+#
+# For E > MAX_EDGE_SLOTS the Gram matrix no longer fits, but the same
+# variable step factors through the rectangular one-hot matrices:
+#   sum-over-other-edges(x)[e] = (bcmT @ (bcm @ x))[e] - x[e]
+# with VMEM O(N*E + E*Bt) instead of O(E^2). The two chained matmuls
+# serialize per iteration (measured 1.9x slower than the Gram form on the
+# reference code, tools/proto_r2.py "split"), so the Gram kernels stay the
+# fast path for small codes and these extend coverage to larger ones
+# (MAX_EDGE_SLOTS_SPLIT in ops.layout records the measured envelope).
+
+def _make_mm2(precise: bool):
+    """Two-pass hi/lo (precise) or single bf16 (fast) matmul for the split
+    kernels. Unlike the Gram path, the split path's contraction dims (E and
+    N of large codes) are already multiples of 128, so operand stacking
+    would save no MXU tiles — the plain two-pass form keeps the constant
+    matrices single-width (half the VMEM)."""
+    if precise:
+        def mm2(a, x):
+            hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            return (jnp.dot(a, hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(a, x - hi, preferred_element_type=jnp.float32))
+    else:
+        def mm2(a, x):
+            return jnp.dot(a, x, preferred_element_type=jnp.float32)
+    return mm2
+
+
+def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
+                             precise: bool, early_exit: bool, n_valid: int,
+                             rx_ref, bcm_ref, bcmT_ref, padbig_ref, h_ref,
+                             out_ref):
+    Bt = rx_ref.shape[1]
+    E = Wr * M
+    mm = _make_mm2(precise)
+    r = -rx_ref[:]                          # (N, Bt)
+    bcm = bcm_ref[:]                        # (N, E)
+    bcmT = bcmT_ref[:]                      # (E, N)
+    padbig = padbig_ref[:]
+    deg = jnp.sum(bcm, axis=1, keepdims=True)
+    degr = deg * r
+
+    def gather(x):
+        return jax.lax.dot_general(bcm, x, (((0,), (0,)), ((), ())),
+                                   precision=_HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    base = gather((deg - 1.0) * r) + padbig
+    Mmsg0 = gather(r) + padbig
+
+    def check_step(Mmsg):
+        t = Mmsg.reshape(Wr, M, Bt)
+        sg = jnp.where(t < 0, -1.0, 1.0)
+        w = jnp.maximum(jnp.log(jnp.tanh(jnp.abs(t) * 0.5)), -_PHI_CLAMP)
+        U = _tree(jnp.add, w)
+        negP = -_tree(jnp.multiply, sg)
+        v = w - U
+        return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
+
+    if not early_exit:
+        def body(_i, carry):
+            Mmsg, _Em = carry
+            Em = check_step(Mmsg)
+            A = mm(bcm, Em)                              # (N, Bt) var sums
+            Mnew = base + mm(bcmT, A) - Em
+            return Mnew, Em
+        _, Em = jax.lax.fori_loop(0, iterations, body,
+                                  (Mmsg0, jnp.zeros_like(Mmsg0)))
+        L = mm(bcm, Em) + degr
+        out_ref[:] = (L <= 0).astype(jnp.int8)
+        return
+
+    Hf = h_ref[:]
+
+    def cond(carry):
+        i, _Mmsg, _L, done = carry
+        return jnp.logical_and(i < iterations, jnp.min(done) < 1.0)
+
+    def wbody(carry):
+        i, Mmsg, L, done = carry
+        Em = check_step(Mmsg)
+        A = mm(bcm, Em)
+        Lnew = A + degr
+        Mnew = base + mm(bcmT, A) - Em
+        L = jnp.where(done > 0, L, Lnew)
+        vhat_f = (Lnew <= 0).astype(jnp.float32)
+        done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
+        Mmsg = jnp.where(done > 0, Mmsg, Mnew)
+        return i + 1, Mmsg, L, done
+
+    _, _, L, _ = jax.lax.while_loop(
+        cond, wbody, (0, Mmsg0, r, _pad_done(n_valid, Bt)))
+    out_ref[:] = (L <= 0).astype(jnp.int8)
+
+
+def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
+                         precise: bool, early_exit: bool, n_valid: int,
+                         norm_offset: float, norm_scale: float,
+                         rx_ref, bcm_ref, bcmT_ref, padbig_ref, h_ref,
+                         out_ref):
+    Bt = rx_ref.shape[1]
+    E = Wr * M
+    big = jnp.float32(np.finfo(np.float32).max)
+    mm = _make_mm2(precise)
+    Lci = -rx_ref[:]
+    bcm = bcm_ref[:]
+    bcmT = bcmT_ref[:]
+    padbig = padbig_ref[:]
+
+    def gather(x):
+        return jax.lax.dot_general(bcm, x, (((0,), (0,)), ((), ())),
+                                   precision=_HIGHEST,
+                                   preferred_element_type=jnp.float32)
+
+    base = gather(Lci) + padbig
+    Lq0 = base
+
+    def check_step(Lq):
+        t = Lq.reshape(Wr, M, Bt)
+        beta = jnp.abs(t)
+        sg = jnp.where(t < 0, -1.0, 1.0)
+        P = _tree(jnp.multiply, sg)
+        min_excl, min1 = _excl_min_axis0(beta, big)
+        prod_alpha = jnp.where(min1 == 0, 0.0, P)
+        if norm_offset != 0.0:
+            min_excl = jnp.maximum(min_excl - norm_offset, 0.0)
+        if norm_scale != 1.0:
+            min_excl = min_excl * norm_scale
+        return (sg * (prod_alpha * min_excl)).reshape(E, Bt)
+
+    if not early_exit:
+        def body(_i, carry):
+            Lq, _Lr = carry
+            Lr = check_step(Lq)
+            A = mm(bcm, Lr)                              # (N, Bt)
+            Lq_new = base + mm(bcmT, A) - Lr
+            return Lq_new, Lr
+        _, Lr = jax.lax.fori_loop(0, iterations, body,
+                                  (Lq0, jnp.zeros_like(Lq0)))
+        LQ = Lci + mm(bcm, Lr)
+        out_ref[:] = (LQ < 0).astype(jnp.int8)
+        return
+
+    Hf = h_ref[:]
+
+    def cond(carry):
+        i, _Lq, _LQ, done = carry
+        return jnp.logical_and(i < iterations, jnp.min(done) < 1.0)
+
+    def wbody(carry):
+        i, Lq, LQ, done = carry
+        Lr = check_step(Lq)
+        A = mm(bcm, Lr)
+        LQ_new = Lci + A
+        Lq_new = base + mm(bcmT, A) - Lr
+        Lq = jnp.where(done > 0, Lq, Lq_new)
+        LQ = jnp.where(done > 0, LQ, LQ_new)
+        vhat_f = (LQ_new < 0).astype(jnp.float32)
+        done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
+        return i + 1, Lq, LQ, done
+
+    _, _, LQ, _ = jax.lax.while_loop(
+        cond, wbody, (0, Lq0, Lci, _pad_done(n_valid, Bt)))
+    out_ref[:] = (LQ < 0).astype(jnp.int8)
+
+
+def _run_split(kernel_body, rx, code, iterations, block_b, interpret, precise,
+               early_exit, extra_args=()):
+    bcm_np, _gram, padbig_np, Wr = _wmajor_layout(code)
+    N, E = bcm_np.shape
+    B = rx.shape[0]
+    Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
+    return _launch(
+        functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
+                          early_exit, B, *extra_args),
+        rx, N,
+        [(jnp.asarray(bcm_np), (N, E)),
+         (jnp.asarray(np.ascontiguousarray(bcm_np.T)), (E, N)),
+         (jnp.asarray(padbig_np), (E, 1)), (Hf, (code.M, N))],
+        block_b, interpret)
+
+
 def _run_exact(kernel_body, rx, code, iterations, block_b, interpret):
     lay = edge_layout(code)
     M, N, Wr = lay.M, lay.N, lay.Wr
@@ -583,7 +768,7 @@ _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
 # here for back-compat.
 
 
-def _auto_block(mode: str, E: int) -> int:
+def _auto_block(mode: str, E: int, early_exit: bool = False) -> int:
     # The VMEM footprint has an E^2 term (the Gram) on top of the E*block_b
     # message buffers, so a 1/E block law overshoots for larger codes:
     # block ~ E^-1.5 fits the measured envelope there (E=192 at 4096, 5120+
@@ -592,25 +777,57 @@ def _auto_block(mode: str, E: int) -> int:
     # it); E^-1.5 would overshoot VMEM for tiny codes (E=48 -> 32k lanes).
     ratio = _REF_SLOTS / max(E, 1)
     scaled = int(_MODE_BLOCKS[mode] * min(ratio, ratio**1.5))
+    if early_exit:
+        # the while-loop kernels carry extra live state (messages + frozen
+        # LLRs + done mask + H) — measured envelope: b4096 fails to compile
+        # for the SPA fast/precise early-exit kernels on a v5e, b2048 is
+        # safe for every mode/method
+        scaled = min(scaled, 2048)
     return max(256, (scaled // 256) * 256)
 
 
-def _dispatch(exact_kernel, fast_kernel, rx, code, iterations, block_b,
-              interpret, mode, early_exit, extra_args=()):
+def _auto_block_split(E: int, N: int, early_exit: bool) -> int:
+    """Batch block for the split kernels: what fits ~14 MiB VMEM after the
+    two (N, E) constant matrices, with ~4-5 live (E, block) f32 buffers."""
+    live = 5 if early_exit else 4
+    budget = 14 * 2**20 - 8 * N * E
+    bb = budget // (live * 4 * E)
+    return max(128, min(2048, (int(bb) // 128) * 128))
+
+
+def _dispatch(exact_kernel, fast_kernel, split_kernel, rx, code, iterations,
+              block_b, interpret, mode, early_exit, impl="auto",
+              extra_args=()):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
+    if impl not in ("auto", "gram", "split"):
+        raise ValueError(f"unknown impl {impl!r}; use auto|gram|split")
     E = edge_slots(code)
+    use_split = impl == "split" or (
+        impl == "auto" and mode != "exact" and not pallas_supported(code)
+        and pallas_split_supported(code) and not interpret and not block_b)
+    if use_split and mode == "exact":
+        raise ValueError("impl='split' supports mode='precise' or 'fast'")
     if block_b:
         bb = block_b  # explicit block skips the size gate (escape hatch)
+    elif use_split:
+        bb = _auto_block_split(E, code.N, early_exit)
     else:
         if not (interpret or pallas_supported(code)):
             raise ValueError(
                 f"code {code.name!r} has {E} edge slots; the VMEM-resident "
-                f"pallas kernels fit codes up to {MAX_EDGE_SLOTS} slots "
-                f"(see MAX_EDGE_SLOTS). Use the XLA decoders instead "
-                f"(ops.decode_minsum / make_decoder(backend='xla' or "
-                f"'auto')), or pass block_b explicitly to override.")
-        bb = _auto_block(mode, E)
+                f"Gram pallas kernels fit codes up to {MAX_EDGE_SLOTS} "
+                f"slots and the split kernels up to {MAX_EDGE_SLOTS_SPLIT} "
+                f"(this code {'fits' if pallas_split_supported(code) else 'exceeds'} "
+                f"the split envelope — impl='split' selects them; "
+                f"impl='auto' does so automatically outside interpret "
+                f"mode). Otherwise use the XLA decoders "
+                f"(make_decoder(backend='xla' or 'auto')).")
+        bb = _auto_block(mode, E, early_exit)
+    if use_split:
+        return _run_split(split_kernel, rx, code, iterations, bb, interpret,
+                          precise=(mode == "precise"), early_exit=early_exit,
+                          extra_args=extra_args)
     if mode == "exact":
         if early_exit:
             raise NotImplementedError(
@@ -625,7 +842,7 @@ def pallas_decode_minsum(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
     block_b: int | None = None, interpret: bool = False, mode: str = "exact",
     early_exit: bool = False, norm_offset: float = 0.0,
-    norm_scale: float = 1.0,
+    norm_scale: float = 1.0, impl: str = "auto",
 ) -> jax.Array:
     """VMEM-resident min-sum decode. rx (B, N) -> vhat (B, N).
 
@@ -641,19 +858,21 @@ def pallas_decode_minsum(
         raise NotImplementedError(
             "min-sum corrections require mode='precise' or 'fast'")
     return _dispatch(_minsum_exact_kernel, _minsum_fast_kernel,
+                     _minsum_split_kernel,
                      rx, code, iterations, block_b, interpret, mode,
-                     early_exit,
+                     early_exit, impl=impl,
                      extra_args=(float(norm_offset), float(norm_scale)))
 
 
 def pallas_decode_sumproduct(
     rx: jax.Array, code: LdpcCode, iterations: int = 20,
     block_b: int | None = None, interpret: bool = False, mode: str = "exact",
-    early_exit: bool = False,
+    early_exit: bool = False, impl: str = "auto",
 ) -> jax.Array:
     """VMEM-resident tanh-rule SPA decode. See pallas_decode_minsum; the
     early-exit syndrome check runs every iteration with no guard, matching
     the reference (lib/ldpc_decoder_cb_impl.cc:534-537)."""
     return _dispatch(_sumproduct_exact_kernel, _sumproduct_fast_kernel,
+                     _sumproduct_split_kernel,
                      rx, code, iterations, block_b, interpret, mode,
-                     early_exit)
+                     early_exit, impl=impl)

@@ -217,24 +217,33 @@ def test_pallas_fast_other_codes(code_name):
 
 
 def test_pallas_size_gate_large_codes():
-    """Codes whose edge-slot count exceeds the VMEM envelope must be
-    rejected with a clear error (not an opaque Mosaic compile failure), and
-    make_decoder(backend="auto") must silently route them to the XLA path.
-    Measured envelope: E=768 compiles on a v5e, E>=1020 does not."""
+    """Codes beyond the VMEM envelopes must be rejected with a clear error
+    (not an opaque Mosaic compile failure), and make_decoder(backend="auto")
+    must silently route them to the XLA path. Measured Gram envelope: E=768
+    compiles on a v5e, E>=1020 does not; the split kernels extend coverage
+    to MAX_EDGE_SLOTS_SPLIT (bounded by the bcm/bcmT constants fitting
+    VMEM)."""
     from gr_ldpc_ece535a_tpu.codes.ldpc import LdpcCode, make_ldpc
     from gr_ldpc_ece535a_tpu.ops.decode import make_decoder
     from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
-        MAX_EDGE_SLOTS, edge_slots, pallas_supported)
+        MAX_EDGE_SLOTS, edge_slots, pallas_split_supported, pallas_supported)
 
     small = get_code("block_32_64")
     assert edge_slots(small) == 192 and pallas_supported(small)
 
+    # beyond the Gram envelope but inside the split envelope
     big = LdpcCode.from_h(make_ldpc(256, 512, seed=1), name="gen_256_512")
     assert edge_slots(big) > MAX_EDGE_SLOTS and not pallas_supported(big)
+    assert pallas_split_supported(big)
+
+    # beyond BOTH envelopes: the gate must fire with a clear error
+    huge = LdpcCode.from_h(make_ldpc(512, 1024, seed=1), name="gen_512_1024")
+    assert not pallas_split_supported(huge)
+    rxh = jnp.zeros((4, huge.N), jnp.float32)
+    with pytest.raises(ValueError, match="edge slots"):
+        pallas_decode_minsum(rxh, huge, iterations=2, mode="fast")
 
     rx = jnp.zeros((4, big.N), jnp.float32)
-    with pytest.raises(ValueError, match="edge slots"):
-        pallas_decode_minsum(rx, big, iterations=2, mode="fast")
     # explicit block_b is the escape hatch: the gate must not fire (the
     # interpret-mode run then exercises the kernel itself)
     out = pallas_decode_minsum(rx, big, iterations=1, mode="fast",
@@ -245,7 +254,55 @@ def test_pallas_size_gate_large_codes():
     dec = make_decoder(big, method=0, iterations=2, backend="auto")
     assert np.asarray(dec(rx)).shape == (4, big.N)
 
-    # explicit backend="pallas" on an oversized code fails at CONSTRUCTION
-    # (docs/guide.md promises the error fires up front, not at first trace)
+    # explicit backend="pallas" beyond the split envelope fails at
+    # CONSTRUCTION (docs/guide.md promises the error fires up front)
     with pytest.raises(ValueError, match="edge slots"):
-        make_decoder(big, method=0, iterations=2, backend="pallas")
+        make_decoder(huge, method=0, iterations=2, backend="pallas")
+
+
+@pytest.mark.parametrize("mode", ["precise", "fast"])
+@pytest.mark.parametrize("kind", ["minsum", "sumproduct"])
+def test_pallas_split_impl_matches_gram(mode, kind):
+    """The split kernels (rectangular bcm/bcmT matmuls — the large-code
+    path beyond MAX_EDGE_SLOTS) must agree with the Gram kernels: in
+    interpret mode both evaluate the hi/lo-split (or bf16) arithmetic with
+    full-f32 dots, and the variable step (bcmT @ (bcm @ x)) - x equals
+    G @ x exactly for these 0/1 matrices up to summation order, so hard
+    decisions must match frame-for-frame on noisy codeword inputs."""
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    import jax
+
+    code = get_code("block_32_64")
+    pall = pallas_decode_minsum if kind == "minsum" else pallas_decode_sumproduct
+    kd, kn = jax.random.split(jax.random.PRNGKey(21))
+    d = jax.random.bernoulli(kd, 0.5, (512, code.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, code)), ebn0_db=4.0)
+    vg = np.asarray(pall(rx, code, iterations=20, block_b=128,
+                         interpret=True, mode=mode))
+    vs = np.asarray(pall(rx, code, iterations=20, block_b=128,
+                         interpret=True, mode=mode, impl="split"))
+    agree = (vg == vs).all(axis=1).mean()
+    assert agree >= 0.998, agree  # summation-order ulps on wander frames only
+
+
+def test_pallas_split_supports_larger_codes_interpret():
+    """A code beyond the Gram envelope decodes through impl="split"
+    (interpret mode) and matches the XLA f32 path under early-exit
+    semantics on clean-ish frames."""
+    from gr_ldpc_ece535a_tpu.codes.ldpc import LdpcCode, make_ldpc
+    from gr_ldpc_ece535a_tpu.ops import awgn, bpsk_map, encode_bits
+    from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
+        pallas_split_supported, pallas_supported)
+    import jax
+
+    big = LdpcCode.from_h(make_ldpc(256, 512, seed=3), name="gen_256_512_s3")
+    assert not pallas_supported(big) and pallas_split_supported(big)
+    kd, kn = jax.random.split(jax.random.PRNGKey(23))
+    d = jax.random.bernoulli(kd, 0.5, (32, big.K)).astype(jnp.int8)
+    rx = awgn(kn, bpsk_map(encode_bits(d, big)), ebn0_db=5.0)
+    vs = np.asarray(pallas_decode_minsum(
+        rx, big, iterations=10, block_b=128, interpret=True, mode="precise",
+        early_exit=True, impl="split"))
+    vj = np.asarray(decode_minsum(rx, big, iterations=10, early_exit=True,
+                                  dtype=jnp.float32))
+    assert np.array_equal(vs, vj)

@@ -218,5 +218,123 @@ def main():
               f"agree={agree:.5f}")
 
 
+
+
+
+# -- round-3b: SPA check-step variants under the stacked precise Gram ------
+def sumprod_kernel_v2(variant, iterations, M, Wr, N,
+                      rx_ref, bcm_ref, gram_ref, padbig_ref, out_ref):
+    """variant "phi" = shipped phi-domain; "psprod1p" = prefix/suffix tanh
+    products with log1p(T) - log1p(-T) (division-free; the closest
+    formulation to the XLA path's check step)."""
+    import jax
+    import jax.numpy as jnp
+    Bt = rx_ref.shape[1]
+    E = Wr * M
+    r = -rx_ref[:]
+    bcm2 = bcm_ref[:]
+    bcm = bcm2[:, :E]
+    G2 = gram_ref[:]
+    padbig = padbig_ref[:]
+    deg = jnp.sum(bcm, axis=1, keepdims=True)
+    degr = deg * r
+    base = _gather(bcm, (deg - 1.0) * r) + padbig
+    Mmsg0 = _gather(bcm, r) + padbig
+
+    def split(x):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.concatenate([hi, x - hi], axis=0)
+
+    if variant == "psprod1p":
+        def check_step(Mmsg):
+            t = jnp.tanh(Mmsg.reshape(Wr, M, Bt) * 0.5)  # pads -> 1.0
+            ones = jnp.ones_like(t[:1])
+            pparts = [ones]
+            acc = t[0:1]
+            for w in range(1, Wr):
+                pparts.append(acc)
+                acc = acc * t[w:w + 1]
+            sparts = [ones]
+            acc = t[Wr - 1:Wr]
+            for w in range(Wr - 2, -1, -1):
+                sparts.append(acc)
+                acc = acc * t[w:w + 1]
+            T = (jnp.concatenate(pparts, axis=0)
+                 * jnp.concatenate(sparts[::-1], axis=0))
+            T = jnp.clip(T, -0.999999881, 0.999999881)  # |E| <= ~16.6
+            return (jnp.log1p(T) - jnp.log1p(-T)).reshape(E, Bt)
+    else:
+        def check_step(Mmsg):
+            t = Mmsg.reshape(Wr, M, Bt)
+            sg = jnp.where(t < 0, -1.0, 1.0)
+            w = jnp.maximum(jnp.log(jnp.tanh(jnp.abs(t) * 0.5)), -PHI_CLAMP)
+            U = _tree(jnp.add, w)
+            negP = -_tree(jnp.multiply, sg)
+            v = w - U
+            return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
+
+    def body(_i, carry):
+        Mmsg, _Em = carry
+        Em = check_step(Mmsg)
+        return base + jnp.dot(G2, split(Em),
+                              preferred_element_type=jnp.float32), Em
+
+    _, Em = jax.lax.fori_loop(0, iterations, body,
+                              (Mmsg0, jnp.zeros_like(Mmsg0)))
+    L = jnp.dot(bcm2, split(Em), preferred_element_type=jnp.float32) + degr
+    out_ref[:] = (L <= 0).astype(jnp.int8)
+
+
+def run_v2(variant, rx, code, iterations=20, block_b=2048):
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    bcm_np, gram_np, padbig_np, Wr = _wmajor_layout(code)
+    N, E = bcm_np.shape
+    bcm2 = np.concatenate([bcm_np, bcm_np], axis=1)
+    gram2 = np.concatenate([gram_np, gram_np], axis=1)
+    B = rx.shape[0]
+    Bp = max(block_b, ((B + block_b - 1) // block_b) * block_b)
+    rx_t = jnp.zeros((N, Bp), jnp.float32).at[:, :B].set(
+        jnp.asarray(rx, jnp.float32).T)
+    kernel = functools.partial(sumprod_kernel_v2, variant, iterations,
+                               code.M, Wr, N)
+    consts = [(jnp.asarray(bcm2), bcm2.shape),
+              (jnp.asarray(gram2), gram2.shape),
+              (jnp.asarray(padbig_np), (E, 1))]
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // block_b,),
+        in_specs=[pl.BlockSpec((N, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)] +
+                 [pl.BlockSpec(s, lambda i: (0, 0), memory_space=pltpu.VMEM)
+                  for _, s in consts],
+        out_specs=pl.BlockSpec((N, block_b), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, Bp), jnp.int8),
+    )(rx_t, *[a for a, _ in consts])
+    return out[:, :B].T
+
+
+def main_v2():
+    import jax
+    code = get_code("block_32_64")
+    B = 1 << 17
+    rx = _make_inputs(code, B, jax.random.PRNGKey(0))
+    jax.block_until_ready(rx)
+    K = code.K
+    ref = np.asarray(pallas_decode_sumproduct(rx, code, iterations=20,
+                                              mode="precise"))
+    for rnd in range(2):
+        for variant in ("phi", "psprod1p"):
+            out = np.asarray(run_v2(variant, rx, code))
+            agree = float((out == ref).all(axis=1).mean())
+            t = time_decode(lambda r, v=variant: run_v2(v, r, code), rx)
+            print(f"[{rnd}] spa-precise {variant:9s}: {t*1e3:.3f} ms "
+                  f"({B*K/t/1e9:.3f} Gbit/s) agree={agree:.5f}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    main_v2() if "v2" in sys.argv[1:] else main()
