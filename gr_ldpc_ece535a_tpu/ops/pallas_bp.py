@@ -761,6 +761,13 @@ def _launch(kernel, rx, N, consts, block_b, interpret, vmem_limit=None):
 
 
 _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 4096}
+# Larger tiles measured faster for the fixed-iteration precise kernels at
+# the reference code size (b3072: SPA 1.03 Gbit/s vs 0.99 at b2048, min-sum
+# 1.22 vs 1.18; b3584/b4096 no better and b4096 compiles unreliably), so
+# codes at or beyond the tuning point start the precise law from 3072.
+# Small codes keep the proven round-2 base (the recorded sim-code sweeps
+# ran the 1/E law from 2048).
+_MODE_BLOCKS_PRECISE_LARGE = 3072
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
                   # were tuned on
 # MAX_EDGE_SLOTS / edge_slots / pallas_supported live in ops.layout (pure
@@ -776,7 +783,9 @@ def _auto_block(mode: str, E: int, early_exit: bool = False) -> int:
     # point the 1/E law is the proven one (the recorded sim-code sweeps ran
     # it); E^-1.5 would overshoot VMEM for tiny codes (E=48 -> 32k lanes).
     ratio = _REF_SLOTS / max(E, 1)
-    scaled = int(_MODE_BLOCKS[mode] * min(ratio, ratio**1.5))
+    base = (_MODE_BLOCKS_PRECISE_LARGE
+            if mode == "precise" and ratio <= 1.0 else _MODE_BLOCKS[mode])
+    scaled = int(base * min(ratio, ratio**1.5))
     if early_exit:
         # the while-loop kernels carry extra live state (messages + frozen
         # LLRs + done mask + H) — measured envelope: b4096 fails to compile
