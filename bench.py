@@ -101,12 +101,14 @@ def _fetch_time(fn, rx, reps):
     return best
 
 
-def time_decode(decode_fn, rx, k1: int = 1, k2: int = 9, reps: int = 4) -> float:
+def time_decode(decode_fn, rx, k1: int = 1, k2: int = 25, reps: int = 4) -> float:
     """Seconds per decode call, tunnel-latency-cancelled (slope method).
 
-    k2 - k1 = 8 chained links per slope and best-of-4 fetches: the ~23 ms
+    k2 - k1 = 24 chained links per slope and best-of-4 fetches: the ~23 ms
     tunnel round-trip is ~10x one decode, so a long chain keeps the slope's
-    signal-to-noise high against RTT jitter."""
+    signal-to-noise high against RTT jitter (widened from 8 links in round
+    2 after observing ~±4% run-to-run spread on the ~4 ms kernels — jitter
+    divides by the link count)."""
     f1, f2 = _chained(decode_fn, k1), _chained(decode_fn, k2)
     np.asarray(f1(rx))  # compile + warm
     np.asarray(f2(rx))
@@ -183,9 +185,32 @@ def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
     from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
         pallas_decode_minsum, pallas_decode_sumproduct)
 
+    Hd = jnp.asarray(code.H.astype(np.float32))
+
     @jax.jit
     def mism(a, b):
         return jnp.sum(jnp.any(a != b, axis=1).astype(jnp.int32))
+
+    @jax.jit
+    def mism_decomp(vp, vx):
+        """Mismatch count + syndrome decomposition, on device (5 scalars).
+
+        Every observed precise-vs-XLA disagreement sits at the decoding
+        limit: either both outputs fail the syndrome (flagged garbage on
+        both sides) or exactly one side converged on a marginal frame.
+        'both_valid_diff' (two different valid codewords) is the only
+        decomposition bin that could silently corrupt accepted data —
+        recorded so each round's JSON proves whether it stayed at 0.
+        """
+        diff = jnp.any(vp != vx, axis=1)
+        ok_p = jnp.sum(jnp.mod(jnp.dot(Hd, vp.T.astype(jnp.float32)), 2.0),
+                       axis=0) == 0
+        ok_x = jnp.sum(jnp.mod(jnp.dot(Hd, vx.T.astype(jnp.float32)), 2.0),
+                       axis=0) == 0
+        cnt = lambda m: jnp.sum(jnp.logical_and(diff, m).astype(jnp.int32))
+        return (jnp.sum(diff.astype(jnp.int32)),
+                cnt(~ok_p & ~ok_x), cnt(ok_p & ok_x),
+                cnt(ok_x & ~ok_p), cnt(ok_p & ~ok_x))
 
     out = {"parity_frames": batch * n_batches,
            "parity_semantics": "early_exit(reference)",
@@ -203,16 +228,23 @@ def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
                                         mode="fast", early_exit=True))
         xf = jax.jit(lambda r, f=xfn: f(r, code, iterations=iterations,
                                         early_exit=True))
-        mp = mf = done = 0
+        mf = done = 0
+        dec = np.zeros(5, np.int64)
         for i in range(n_batches):
             if done and remaining is not None and remaining() < 20.0:
                 break  # record what we measured; count below is honest
             rx = _make_inputs(code, batch, jax.random.PRNGKey(1000 + i))
             vx = xf(rx)
-            mp += int(mism(pf(rx), vx))
+            dec += np.asarray([int(v) for v in mism_decomp(pf(rx), vx)])
             mf += int(mism(ff(rx), vx))
             done += 1
-        out[f"mismatch_precise_{name}"] = mp
+        out[f"mismatch_precise_{name}"] = int(dec[0])
+        out[f"mismatch_precise_{name}_decomp"] = {
+            "both_syndrome_fail": int(dec[1]),
+            "both_valid_different": int(dec[2]),
+            "only_xla_valid": int(dec[3]),
+            "only_pallas_valid": int(dec[4]),
+        }
         out[f"mismatch_fast_{name}"] = mf
         out[f"parity_frames_{name}"] = done * batch
         out["parity_frames"] = min(out["parity_frames"], done * batch)

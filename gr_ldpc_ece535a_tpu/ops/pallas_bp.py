@@ -21,12 +21,14 @@ Three kernel modes, trading hard-decision fidelity against throughput
                    bits. (Contraction 2E = 384 = 3x128 MXU chunks exactly;
                    two separate passes each pad E=192 to 2x128 — the stack
                    is 26-37% faster at identical arithmetic, see
-                   tools/proto_r3.py.) Hard decisions matched the jnp f32
-                   path on every frame tested (large-sample on-TPU parity
-                   counters recorded per round in BENCH_r*.json); not a
-                   formal bit-exactness guarantee — see docs/kernels.md
-                   for the error-bound argument. ~3.8 ms (~1.1 Gbit/s)
-                   sum-product, ~2.9 ms (~1.45 Gbit/s) min-sum.
+                   tools/proto_r3.py.) Hard decisions match the jnp f32
+                   path exactly in interpret mode (asserted in tests) and
+                   to ~4e-5 on hardware under the reference's early-exit
+                   semantics, with every recorded disagreement confined to
+                   frames at the decoding limit (on-TPU parity counters +
+                   decomposition recorded per round in BENCH_r*.json; see
+                   docs/kernels.md for the error-bound argument and the
+                   measured breakdown). ~3.4-4.1 ms (1.0-1.2 Gbit/s).
   mode="fast"    — same algorithm, single-pass bf16 MXU aggregation
                    (messages rounded to bf16 at the segment-sum only).
                    >=99.2% frame agreement at 20 iterations; disagreements
