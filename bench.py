@@ -149,20 +149,24 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
     # remote-compile daemon)
     warm = make_stream(jax.random.PRNGKey(9))
     jax.block_until_ready((stream, warm))
-    recv.receive(warm)
+    recv.receive(warm, fetch_weights=False)
     t0 = time.perf_counter()
-    out = recv.receive(stream)
+    out = recv.receive(stream, fetch_weights=False)  # accept bitmask fetch
     dt = time.perf_counter() - t0
     ok = out.acquisition is not None and out.acquisition.offset == offset
+    # second, PROFILED pass: a scalar-sync fetch splits decode from wire
+    # time (costs one extra round trip, so it is not the headline number)
+    # and records the payload wire rate — the evidence for where the
+    # remaining gap to the bulk-decode rate is (round-2 VERDICT item 3)
+    prof = recv.receive(stream, fetch_weights=False, profile=True)
+    tt = prof.timings
+    wall = sum(v for k, v in tt.items() if k.endswith("_s"))
     return {
         "stream_receiver_info_bits_per_s": len(out.data) * 8 / dt,
         "stream_receiver_frames": out.n_frames,
         "stream_receiver_locked": bool(ok and out.acquisition.inverted),
-        # wall breakdown (seconds): acquisition (device search + weight
-        # fetch), sharded decode + combined payload fetch, host filtering —
-        # locates the remaining gap to the bulk-decode rate (round-2 VERDICT
-        # item 3: prove where the wall is)
-        "stream_receiver_breakdown": out.timings,
+        "stream_receiver_breakdown": tt,
+        "stream_receiver_wire_frac": tt.get("fetch_s", 0.0) / max(wall, 1e-9),
     }
 
 

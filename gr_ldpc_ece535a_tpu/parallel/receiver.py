@@ -71,6 +71,84 @@ def _acquire_fused(code, method, iterations, n_off, verify_frames):
     return run, n_off - 1 + L * N
 
 
+@functools.lru_cache(maxsize=None)
+def _accept_bitmask(code, threshold):
+    """Jitted (F,) syndrome weights -> MSB-first packed accept bitmask
+    (ceil(F/8),) uint8: 1 bit per frame over the wire instead of 1 byte."""
+
+    @jax.jit
+    def run(w):
+        acc = (w.astype(jnp.int32) <= threshold).astype(jnp.int32)
+        Fp = ((acc.shape[0] + 7) // 8) * 8
+        acc = jnp.pad(acc, (0, Fp - acc.shape[0]))
+        bits = acc.reshape(-1, 8)
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+        return jnp.sum(bits * weights, axis=1).astype(jnp.uint8)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_receiver_program(code, method, iterations, threshold, n_off,
+                            verify_frames, kernel_mode, T_padded,
+                            on_tpu=True):
+    """Single-dispatch receiver for a 1-shard mesh: acquisition (offset x
+    polarity search + verify), polarity correction, whole-stream decode,
+    MSB-first byte repack, and the accept bitmask — ONE jitted program, so
+    no host round-trip separates acquisition from the body decode (the
+    two-phase path pays a full tunnel RTT fetching the weights before it
+    can dispatch the body). The winning (offset, polarity) is selected ON
+    DEVICE in the reference's trial order (offset-major, normal before
+    inverted — lib/ldpc_decoder_cb_impl.cc:178-199's slide/negate retry
+    collapsed into an argmin) and comes back alongside the payload in the
+    single result fetch.
+
+    Returns (packed (F, K//8) u8, bitmask ceil(F/8) u8, ok bool,
+    offset i32, inverted i32, weight0 i32) with F = T_padded // N.
+    """
+    N, M, K = code.N, code.M, code.K
+    L = 1 + verify_frames
+    F = T_padded // N
+    if on_tpu:
+        backend = ("pallas_fast"
+                   if (kernel_mode == "fast" and method in (0, 1, "minsum",
+                                                            "sumproduct"))
+                   else "auto")
+    else:
+        backend = "xla"
+    dec = make_decoder(code, method=method, iterations=iterations, jit=False,
+                       backend=backend)
+    idx = (np.arange(n_off)[:, None] + np.arange(L * N)[None, :]).astype(
+        np.int32)
+    from ..ops import pack_bits
+
+    @jax.jit
+    def run(stream):                          # (T_padded,) f32
+        win = jnp.take(stream, jnp.asarray(idx), axis=0)
+        cand = jnp.concatenate([win, -win]).reshape(2 * n_off * L, N)
+        w = syndrome_weight(dec(cand), code.H).reshape(2, n_off, L)
+        hit = jnp.all(w <= threshold, axis=2)             # (2, n_off)
+        # trial order offset-major, normal first: score = 2*offset + pol
+        score = (2 * jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 1)
+                 + jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 0))
+        score = jnp.where(hit, score, jnp.int32(2 ** 30))
+        best = jnp.min(score)
+        ok = best < 2 ** 30
+        off = jnp.where(ok, best // 2, 0)
+        pol = jnp.where(ok, best % 2, 0)
+        body = jnp.where(pol > 0, -stream, stream)
+        ext = jnp.concatenate([body, jnp.zeros(N, jnp.float32)])
+        frames = jax.lax.dynamic_slice_in_dim(ext, off, F * N).reshape(F, N)
+        vhat = dec(frames)
+        wf = syndrome_weight(vhat, code.H)
+        packed = pack_bits(vhat[:, M:])
+        bm = _accept_bitmask(code, threshold)(wf)
+        w0 = w[pol, off, 0]
+        return packed, bm, ok, off, pol, w0.astype(jnp.int32)
+
+    return run
+
+
 @dataclasses.dataclass(frozen=True)
 class Acquisition:
     offset: int          # frame-grid phase in [0, N)
@@ -222,7 +300,8 @@ class StreamReceiver:
         self.kernel_mode = kernel_mode
         self._S = mesh_axis_sizes(self.mesh)[stream_axis]
 
-    def receive(self, symbols) -> ReceiveResult:
+    def receive(self, symbols, fetch_weights: bool = True,
+                profile: bool = False) -> ReceiveResult:
         """Decode a real-symbol stream (complex input: real part is taken).
 
         Accepts a host array (numpy) or a DEVICE-RESIDENT jax.Array. With a
@@ -231,6 +310,19 @@ class StreamReceiver:
         MSB-first data-byte repack all run on device, and only the packed
         payload bytes plus per-frame syndrome weights come back — the
         host<->device traffic is O(head + decoded bytes), not O(stream).
+
+        fetch_weights=False (packed-byte codes only) replaces the per-frame
+        weight fetch with an on-device accept BITMASK (threshold compare +
+        bit-pack, 1 bit/frame instead of 1 byte/frame): ~20% fewer wire
+        bytes on the reference code. ``weights`` is then empty; ``accepted``
+        is still exact.
+
+        profile=True splits the decode/fetch wall honestly on tunneled
+        devices (where dispatch is acknowledged before completion): a
+        scalar reduction is fetched first (true device sync -> decode_s,
+        costs one extra round trip), then the payload (fetch_s), and
+        timings gains fetch_bytes / wire_mb_s — evidence for where the
+        end-to-end wall is.
         """
         import time
 
@@ -245,6 +337,10 @@ class StreamReceiver:
                 dev = jnp.real(dev)
             dev = dev.astype(jnp.float32)
             T = int(dev.shape[0])
+            if (self._S == 1 and packed_ok and fetch_weights is False):
+                # single-shard fast path: acquisition + body decode fused
+                # into one dispatch (no host sync between them)
+                return self._receive_fused(dev, T, profile)
             # acquisition runs on the device-resident head; only its weight
             # tensor crosses to the host (acquire()'s device path)
             head_len = min(T, self.acquire_window + 6 * N)
@@ -284,13 +380,32 @@ class StreamReceiver:
             iterations=self.iterations, offset=acq.offset,
             stream_axis=self.stream_axis, return_packed=packed_ok,
             kernel_mode=self.kernel_mode)
-        # one combined transfer for payload + weights (each np.asarray
-        # would round-trip the tunnel separately)
+        bitmask = fetch_weights is False and packed_ok
+        if bitmask:
+            w = _accept_bitmask(self.code, self.threshold)(w)
+        timings = {"acquire_s": t_acquire}
+        if profile:
+            # true sync point: the decode is done when this scalar lands
+            jax.device_get(jnp.sum(w.astype(jnp.int32)))
+            timings["decode_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+        # one combined transfer for payload + weights/bitmask (each
+        # np.asarray would round-trip the tunnel separately)
         out_np, w_np = jax.device_get((out, w))
-        t_decode = time.perf_counter() - t0
+        t_fetch = time.perf_counter() - t0
+        if profile:
+            nbytes = out_np.nbytes + w_np.nbytes
+            timings.update(fetch_s=t_fetch, fetch_bytes=int(nbytes),
+                           wire_mb_s=nbytes / max(t_fetch, 1e-9) / 1e6)
+        else:
+            timings["decode_fetch_s"] = t_fetch
         t0 = time.perf_counter()
-        w = w_np[:n_valid].astype(np.int32)
-        accepted = w <= self.threshold
+        if bitmask:
+            accepted = np.unpackbits(w_np)[:n_valid].astype(bool)
+            w = np.zeros(0, np.int32)
+        else:
+            w = w_np[:n_valid].astype(np.int32)
+            accepted = w <= self.threshold
         if packed_ok:
             packed = out_np[:n_valid]           # (F, K//8) uint8
             payload = packed[accepted].reshape(-1).tobytes()
@@ -299,9 +414,62 @@ class StreamReceiver:
             data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
             payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
                        if data_bits.size else b"")
-        t_host = time.perf_counter() - t0
+        timings["host_s"] = time.perf_counter() - t0
         return ReceiveResult(
             data=payload, acquisition=acq, n_frames=int(n_valid),
-            accepted=accepted, weights=w,
-            timings={"acquire_s": t_acquire, "decode_fetch_s": t_decode,
-                     "host_s": t_host})
+            accepted=accepted, weights=w, timings=timings)
+
+    def _receive_fused(self, dev: jax.Array, T: int,
+                       profile: bool) -> ReceiveResult:
+        """Single-dispatch device-resident receive (see
+        _fused_receiver_program). Only reached with a 1-shard mesh, packed
+        byte codes, and fetch_weights=False."""
+        import time
+
+        code, N = self.code, self.code.N
+        verify = 4                               # acquire()'s default
+        L = 1 + verify
+        t0 = time.perf_counter()
+        T_padded = ((T + N - 1) // N) * N
+        n_off = min(self.acquire_window, T_padded - L * N + 1)
+        if n_off <= 0:
+            return ReceiveResult(
+                data=b"", acquisition=None, n_frames=0,
+                accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32),
+                timings={"acquire_s": 0.0})
+        on_tpu = all(d.platform == "tpu" for d in self.mesh.devices.flat)
+        run = _fused_receiver_program(
+            code, self.method, self.iterations, self.threshold, n_off,
+            verify, self.kernel_mode, T_padded, on_tpu=on_tpu)
+        res = run(jnp.pad(dev, (0, T_padded - T)))
+        timings: dict = {"fused": True}
+        if profile:
+            jax.device_get(res[2])               # ok flag: true device sync
+            timings["decode_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+        packed_np, bm_np, ok_np, off_np, pol_np, w0_np = jax.device_get(res)
+        t_fetch = time.perf_counter() - t0
+        if profile:
+            nbytes = packed_np.nbytes + bm_np.nbytes
+            timings.update(fetch_s=t_fetch, fetch_bytes=int(nbytes),
+                           wire_mb_s=nbytes / max(t_fetch, 1e-9) / 1e6)
+        else:
+            timings["decode_fetch_s"] = t_fetch
+        t0 = time.perf_counter()
+        if not bool(ok_np):
+            timings["host_s"] = time.perf_counter() - t0
+            return ReceiveResult(
+                data=b"", acquisition=None, n_frames=0,
+                accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32),
+                timings=timings)
+        offset = int(off_np)
+        n_valid = (T - offset) // N
+        accepted = np.unpackbits(bm_np)[:n_valid].astype(bool)
+        payload = packed_np[:n_valid][accepted].reshape(-1).tobytes()
+        acq = Acquisition(offset=offset, inverted=bool(pol_np),
+                          weight=int(w0_np))
+        timings["host_s"] = time.perf_counter() - t0
+        return ReceiveResult(
+            data=payload, acquisition=acq, n_frames=int(n_valid),
+            accepted=accepted, weights=np.zeros(0, np.int32),
+            timings=timings)

@@ -191,6 +191,59 @@ class TestStreamReceiver:
         np.testing.assert_array_equal(res_d.accepted, res_h.accepted)
         np.testing.assert_array_equal(res_d.weights, res_h.weights)
 
+    def test_receive_bitmask_and_profile_match_default(self, code):
+        """fetch_weights=False (on-device accept bitmask, 1 bit/frame over
+        the wire) and profile=True (scalar-sync decode/fetch split) must
+        reproduce the default path's payload and accept decisions; profile
+        timings must carry the fetch split."""
+        from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+        msg = b"bitmask fetch path *" * 20  # 400 bytes = 100 frames
+        stream = self._make_stream(code, msg, 11, False, noise=0.3)
+        rx = StreamReceiver(code=code, method=0, iterations=5,
+                            threshold=0, mesh=make_mesh(("stream",)))
+        ref = rx.receive(stream)
+        bm = rx.receive(stream, fetch_weights=False, profile=True)
+        assert bm.acquisition == ref.acquisition
+        assert bm.data == ref.data
+        np.testing.assert_array_equal(bm.accepted, ref.accepted)
+        assert bm.weights.size == 0  # not fetched in bitmask mode
+        for k in ("acquire_s", "decode_s", "fetch_s", "fetch_bytes",
+                  "wire_mb_s", "host_s"):
+            assert k in bm.timings, k
+        # 1 bit/frame + payload: strictly fewer wire bytes than the
+        # default's byte-per-frame weights would need
+        assert bm.timings["fetch_bytes"] < ref.n_frames * (code.K // 8 + 1) + 16
+
+    @pytest.mark.parametrize("offset,invert", [(0, False), (19, True)])
+    def test_receive_fused_single_shard_matches_two_phase(self, code, offset,
+                                                          invert):
+        """The single-dispatch fused receiver (1-shard mesh, device-resident
+        stream, bitmask fetch) must lock at the same (offset, polarity) and
+        produce the same payload as the two-phase acquire-then-decode path."""
+        import jax
+        from jax.sharding import Mesh
+        from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+        msg = b"fused single-dispatch rx" * 24  # 576 bytes = 144 frames
+        stream = self._make_stream(code, msg, offset, invert, noise=0.3)
+        mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
+        rx = StreamReceiver(code=code, method=0, iterations=5,
+                            threshold=0, mesh=mesh1)
+        ref = rx.receive(stream)                          # two-phase (host)
+        fu = rx.receive(jnp.asarray(stream), fetch_weights=False,
+                        profile=True)
+        assert fu.timings.get("fused") is True
+        assert fu.acquisition == ref.acquisition
+        assert fu.data == ref.data
+        assert fu.n_frames == ref.n_frames
+        np.testing.assert_array_equal(fu.accepted, ref.accepted)
+        # no-lock on garbage through the fused path too
+        rng = np.random.default_rng(0)
+        garbage = jnp.asarray(
+            (np.sign(rng.standard_normal(len(stream))) * 10)
+            .astype(np.float32))
+        res = rx.receive(garbage, fetch_weights=False)
+        assert res.acquisition is None and res.data == b""
+
 
 def test_shard_stream_decode_packed_matches_unpacked(code):
     """return_packed must fuse the MSB-first byte repack on device: packed
