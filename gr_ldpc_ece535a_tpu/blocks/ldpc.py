@@ -77,7 +77,15 @@ class LdpcEncoderBlock(Block):
         if nf == 0:
             return 0, None
         frames = np.asarray(data[: nf * bpf], np.uint8).reshape(nf, bpf)
-        sym = np.asarray(self._enc(jnp.asarray(frames)))  # (nf, N) f32
+        # pad the batch to a power-of-two bucket (as the decoder block does):
+        # streaming chunk sizes vary call-to-call, and every distinct shape
+        # is a fresh jit compile — ~30 s each through a remote-compile
+        # daemon, which made small flowgraphs crawl on tunneled TPUs
+        bucket = _next_bucket(nf)
+        if bucket != nf:
+            frames = np.concatenate(
+                [frames, np.zeros((bucket - nf, bpf), np.uint8)])
+        sym = np.asarray(self._enc(jnp.asarray(frames)))[:nf]  # (nf, N) f32
         return nf * bpf, sym.reshape(-1).astype(np.complex64)
 
 

@@ -10,7 +10,8 @@ constants to a config layer and adds the observability the TPU build needs.
 
 from .bmp import make_bmp, parse_bmp_header
 from .config import ChannelConfig, PipelineConfig, ReceiverConfig, SimConfig
-from .profiling import Timer, ThroughputMeter, trace
+from .profiling import (Timer, ThroughputMeter,
+                        enable_persistent_compile_cache, trace)
 
 __all__ = [
     "ChannelConfig",
@@ -19,6 +20,7 @@ __all__ = [
     "SimConfig",
     "ThroughputMeter",
     "Timer",
+    "enable_persistent_compile_cache",
     "make_bmp",
     "parse_bmp_header",
     "trace",

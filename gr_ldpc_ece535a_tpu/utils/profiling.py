@@ -88,3 +88,30 @@ def trace(log_dir: str, create_perfetto_link: bool = False) -> Iterator[None]:
     import jax
     with jax.profiler.trace(log_dir, create_perfetto_link=create_perfetto_link):
         yield
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at a writable directory.
+
+    On tunneled TPU platforms every first-seen program shape costs a remote
+    compile (~20-40 s for the simple ops, minutes for the fused pallas
+    programs); the persistent cache makes that a one-time cost per machine.
+    Respects an existing JAX_COMPILATION_CACHE_DIR. Called by the CLI apps
+    at startup; library users opt in explicitly. Returns the directory.
+    """
+    import os
+
+    import jax
+
+    env = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env:
+        return env
+    if path is None:
+        path = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "gr_ldpc_ece535a_tpu", "jax")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

@@ -87,7 +87,7 @@ def main() -> None:
     wall = time.perf_counter() - t0
     payload = np.asarray(data).tobytes()
     ok = out.data and out.data[len(out.data) // 2:] in payload
-    print(json.dumps({
+    line = json.dumps({
         "metric": "rx_chain_samples_per_s",
         "value": samples_per_s,
         "unit": "samples/s",
@@ -99,7 +99,12 @@ def main() -> None:
         "impairments": {"freq_offset": 0.01, "clock_ppm": 50,
                         "noise": 0.05, "sps": sps},
         "backend": jax.devices()[0].platform,
-    }))
+    })
+    print(line)
+    if "--save" in sys.argv[1:]:
+        out_path = Path(__file__).resolve().parents[1] / "results" / "chain_r3.json"
+        out_path.write_text(line + "\n")
+        print(f"saved -> {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
