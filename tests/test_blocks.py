@@ -222,3 +222,21 @@ def test_image_sink_native_and_python_agree(tmp_path):
                        (tmp_path / f"{label}_2.bmp").read_bytes())
     assert outs["py"] == outs["nat"]
     assert outs["py"][1] == img1 and outs["py"][2] == img2
+
+
+def test_encoder_block_buckets_batch_shapes():
+    """Varying stream chunk sizes must reuse a handful of jit programs
+    (power-of-two buckets), not compile one per chunk length — distinct
+    shapes cost ~30 s each through a remote-compile daemon."""
+    from gr_ldpc_ece535a_tpu.blocks import LdpcEncoderBlock
+
+    blk = LdpcEncoderBlock()
+    rng = np.random.default_rng(0)
+    out_lens = []
+    for n_bytes in (4, 12, 20, 36, 68, 100, 260, 516):
+        _, out = blk.work(rng.integers(0, 256, n_bytes, dtype=np.uint8))
+        out_lens.append(len(out))
+    assert out_lens == [64 * n for n in (1, 3, 5, 9, 17, 25, 65, 129)]
+    # 8 distinct chunk sizes -> at most 5 bucket shapes (16/32/64/128 pads
+    # cover 1..129 frames at powers of two >= 16)
+    assert blk._enc._cache_size() <= 5
