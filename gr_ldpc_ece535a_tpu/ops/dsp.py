@@ -27,6 +27,7 @@ exactly as the reference chain does.
 
 from __future__ import annotations
 
+import functools
 import math
 from functools import partial
 
@@ -49,6 +50,15 @@ __all__ = [
     "pfb_clock_sync",
     "vv_carrier_recovery",
     "rx_chain",
+    # pair-form (complex-free) chain for TPU backends without complex dtype
+    "to_pairs",
+    "from_pairs",
+    "mix_pairs",
+    "block_agc_pairs",
+    "coarse_cfo_estimate_pairs",
+    "vv_carrier_recovery_pairs",
+    "pfb_clock_sync_pairs",
+    "rx_chain_pairs",
 ]
 
 
@@ -301,17 +311,17 @@ def block_agc(x: jax.Array, reference: float = 1.0,
     return (v * (reference / rms)).reshape(-1)[:n].astype(x.dtype)
 
 
-def _pfb_init_search(x: jax.Array, bank: jax.Array, sps: int,
+def _pfb_init_search(xr: jax.Array, xi: jax.Array, bank: jax.Array, sps: int,
                      probe_syms: int):
     """Open-loop timing acquisition: mean matched-filter output power over
     every (integer offset, polyphase phase) in one batched pass; returns
     (ibase, frac) at the power maximum — the tracking loop's stable lock
-    point (the S-curve zero with negative slope sits at the power peak)."""
+    point (the S-curve zero with negative slope sits at the power peak).
+    Operates on f32 planes (no complex dtype; filters are real)."""
     nfilts, L = bank.shape
     n = probe_syms * sps + L
-    probe = x[:n]
     # correlate the probe with all nfilts rows at every lag: one grouped
-    # conv (real/imag separately; filters are real)
+    # conv per plane
     def conv_all(v):
         inp = v.reshape(1, 1, n)
         flt = bank[:, None, ::-1]
@@ -319,8 +329,8 @@ def _pfb_init_search(x: jax.Array, bank: jax.Array, sps: int,
             inp, flt, window_strides=(1,), padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))
         return out[0]                      # (nfilts, n - L + 1)
-    yr = conv_all(jnp.real(probe).astype(jnp.float32))
-    yi = conv_all(jnp.imag(probe).astype(jnp.float32))
+    yr = conv_all(xr[:n])
+    yi = conv_all(xi[:n])
     pwr = yr * yr + yi * yi                # (nfilts, n - L + 1)
     m = ((pwr.shape[1] - sps) // sps) * sps
     # mean power per (phase, start offset s): samples s, s+sps, ...
@@ -332,6 +342,64 @@ def _pfb_init_search(x: jax.Array, bank: jax.Array, sps: int,
     ibase = (best // nfilts).astype(jnp.int32)
     frac = (best % nfilts).astype(jnp.float32) / nfilts
     return ibase, frac
+
+
+def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
+              excess_bw: float, ntaps_per: int, block_syms: int,
+              loop_bw: float, rate_clip: float, probe_syms: int, state0):
+    """All-real polyphase clock-recovery core shared by the complex and
+    pair-form entry points: planes in, (2, nsym) symbol planes + loop
+    state out. See pfb_clock_sync for the algorithm documentation."""
+    bank_np, dbank_np = polyphase_rrc_banks(sps, nfilts, excess_bw, ntaps_per)
+    bank, dbank = jnp.asarray(bank_np), jnp.asarray(dbank_np)
+    L = bank_np.shape[1]
+    damping = math.sqrt(2.0) / 2.0
+    den = 1.0 + 2.0 * damping * loop_bw + loop_bw * loop_bw
+    alpha = jnp.float32(4 * damping * loop_bw / den)
+    beta = jnp.float32(4 * loop_bw * loop_bw / den)
+
+    n = int(xr.shape[0])
+    win_len = block_syms * sps + L
+    nblocks = max((n - win_len - sps - 4) // (block_syms * sps), 0)
+    margin = int(rate_clip * nblocks * block_syms) + 2 * sps + 4
+    nblocks = max((n - win_len - margin) // (block_syms * sps), 0)
+
+    if state0 is None:
+        ibase0, frac0 = _pfb_init_search(xr, xi, bank, sps,
+                                         min(probe_syms, max(nblocks, 1)
+                                             * block_syms))
+        rate0 = jnp.float32(0.0)
+    else:
+        ibase0 = jnp.asarray(state0[0], jnp.int32)
+        frac0 = jnp.asarray(state0[1], jnp.float32)
+        rate0 = jnp.asarray(state0[2], jnp.float32)
+
+    def step(carry, _):
+        ibase, frac, rate = carry
+        pq = jnp.round(frac * nfilts).astype(jnp.int32)
+        ib = ibase + pq // nfilts
+        pidx = pq % nfilts
+        tf = jnp.take(bank, pidx, axis=0)
+        df = jnp.take(dbank, pidx, axis=0)
+        wr = jax.lax.dynamic_slice(xr, (ib,), (win_len,))
+        wi = jax.lax.dynamic_slice(xi, (ib,), (win_len,))
+        yr = jnp.convolve(wr, tf[::-1], mode="valid")[::sps][:block_syms]
+        yi_ = jnp.convolve(wi, tf[::-1], mode="valid")[::sps][:block_syms]
+        dyr = jnp.convolve(wr, df[::-1], mode="valid")[::sps][:block_syms]
+        dyi = jnp.convolve(wi, df[::-1], mode="valid")[::sps][:block_syms]
+        p = jnp.mean(yr * yr + yi_ * yi_) + 1e-12
+        e = jnp.clip(jnp.mean(yr * dyr + yi_ * dyi) / p, -0.3, 0.3)
+        rate = jnp.clip(rate - beta * e, -rate_clip, rate_clip)
+        adv = frac + block_syms * sps + block_syms * rate - alpha * e
+        stepi = jnp.floor(adv).astype(jnp.int32)
+        return ((ibase + stepi, adv - stepi, rate),
+                jnp.stack([yr, yi_]))                       # (2, block_syms)
+
+    (ibaseF, fracF, rateF), ys = jax.lax.scan(
+        step, (ibase0, frac0, rate0), None, length=nblocks)
+    # ys: (nblocks, 2, block_syms) -> (2, nblocks*block_syms)
+    ys = jnp.transpose(ys, (1, 0, 2)).reshape(2, -1)
+    return ys, (ibaseF, fracF, rateF)
 
 
 @partial(jax.jit, static_argnames=("sps", "nfilts", "excess_bw", "ntaps_per",
@@ -365,57 +433,11 @@ def pfb_clock_sync(x: jax.Array, sps: int, nfilts: int = 32,
     acquisition — the PfbClockSyncBlock carries it, slicing its buffer to
     the returned ibase each chunk.
     """
-    bank_np, dbank_np = polyphase_rrc_banks(sps, nfilts, excess_bw, ntaps_per)
-    bank, dbank = jnp.asarray(bank_np), jnp.asarray(dbank_np)
-    L = bank_np.shape[1]
-    damping = math.sqrt(2.0) / 2.0
-    den = 1.0 + 2.0 * damping * loop_bw + loop_bw * loop_bw
-    alpha = jnp.float32(4 * damping * loop_bw / den)
-    beta = jnp.float32(4 * loop_bw * loop_bw / den)
-
-    n = int(x.shape[0])
-    win_len = block_syms * sps + L
-    # drift margin: rate_clip samples/symbol worst case, plus slack
-    nblocks = max((n - win_len - sps - 4) // (block_syms * sps), 0)
-    margin = int(rate_clip * nblocks * block_syms) + 2 * sps + 4
-    nblocks = max((n - win_len - margin) // (block_syms * sps), 0)
     xr = jnp.real(x).astype(jnp.float32)
     xi = jnp.imag(x).astype(jnp.float32)
-
-    if state0 is None:
-        ibase0, frac0 = _pfb_init_search(x, bank, sps, min(probe_syms,
-                                                           max(nblocks, 1)
-                                                           * block_syms))
-        rate0 = jnp.float32(0.0)
-    else:
-        ibase0 = jnp.asarray(state0[0], jnp.int32)
-        frac0 = jnp.asarray(state0[1], jnp.float32)
-        rate0 = jnp.asarray(state0[2], jnp.float32)
-
-    def step(carry, _):
-        ibase, frac, rate = carry
-        pq = jnp.round(frac * nfilts).astype(jnp.int32)
-        ib = ibase + pq // nfilts
-        pidx = pq % nfilts
-        tf = jnp.take(bank, pidx, axis=0)
-        df = jnp.take(dbank, pidx, axis=0)
-        wr = jax.lax.dynamic_slice(xr, (ib,), (win_len,))
-        wi = jax.lax.dynamic_slice(xi, (ib,), (win_len,))
-        yr = jnp.convolve(wr, tf[::-1], mode="valid")[::sps][:block_syms]
-        yi_ = jnp.convolve(wi, tf[::-1], mode="valid")[::sps][:block_syms]
-        dyr = jnp.convolve(wr, df[::-1], mode="valid")[::sps][:block_syms]
-        dyi = jnp.convolve(wi, df[::-1], mode="valid")[::sps][:block_syms]
-        p = jnp.mean(yr * yr + yi_ * yi_) + 1e-12
-        e = jnp.clip(jnp.mean(yr * dyr + yi_ * dyi) / p, -0.3, 0.3)
-        rate = jnp.clip(rate - beta * e, -rate_clip, rate_clip)
-        adv = frac + block_syms * sps + block_syms * rate - alpha * e
-        stepi = jnp.floor(adv).astype(jnp.int32)
-        return ((ibase + stepi, adv - stepi, rate),
-                (yr + 1j * yi_).astype(jnp.complex64))
-
-    (ibaseF, fracF, rateF), ys = jax.lax.scan(
-        step, (ibase0, frac0, rate0), None, length=nblocks)
-    return ys.reshape(-1), (ibaseF, fracF, rateF)
+    ys, state = _pfb_core(xr, xi, sps, nfilts, excess_bw, ntaps_per,
+                          block_syms, loop_bw, rate_clip, probe_syms, state0)
+    return (ys[0] + 1j * ys[1]).astype(jnp.complex64), state
 
 
 def vv_carrier_recovery(syms: jax.Array, block: int = 64) -> jax.Array:
@@ -469,3 +491,202 @@ def rx_chain(x: jax.Array, sps: int = 2, excess_bw: float = 0.35,
     y, _state = pfb_clock_sync(x, sps=sps, nfilts=nfilts,
                                excess_bw=excess_bw)
     return vv_carrier_recovery(y, block=carrier_block)
+
+
+# ---------------------------------------------------------------------------
+# Pair-form (complex-free) chain: I/Q as (2, T) float32 planes
+# ---------------------------------------------------------------------------
+#
+# This environment's tunneled TPU backend supports NO complex dtype at all —
+# complex64 arrays cannot even be transferred, and FFT is out because its
+# output is complex (probed op-by-op: tools/, round 3). The pair form is the
+# TPU-native answer, and not merely a workaround: complex64 on TPU is two
+# f32s with an interleaved layout the VPU cannot tile cleanly, while (2, T)
+# planes are two perfectly-tiled vector rows and the DFT the CFO estimator
+# needs becomes a chunk-factorized matmul on the MXU. Each *_pairs function
+# matches its complex counterpart (same math, floating-point reassociation
+# only); rx_chain_pairs is the device-resident example4 chain for TPU runs.
+
+
+def to_pairs(x: jax.Array) -> jax.Array:
+    """complex (T,) -> planes (2, T) f32 [re, im]."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)]).astype(jnp.float32)
+
+
+def from_pairs(xp: jax.Array) -> jax.Array:
+    """planes (2, T) -> complex64 (T,). Host/CPU only on this platform."""
+    return (xp[0] + 1j * xp[1]).astype(jnp.complex64)
+
+
+def mix_pairs(xp: jax.Array, freq: float | jax.Array, phase0: float = 0.0,
+              t0: float | jax.Array = 0.0) -> jax.Array:
+    """Pair-form ``mix``: rotate by exp(-j*(2*pi*freq*(t0+n) + phase0))."""
+    n = t0 + jnp.arange(xp.shape[1], dtype=jnp.float32)
+    ph = 2 * jnp.pi * freq * n + phase0
+    c, s = jnp.cos(ph), jnp.sin(ph)
+    r, i = xp[0], xp[1]
+    return jnp.stack([r * c + i * s, i * c - r * s])
+
+
+def block_agc_pairs(xp: jax.Array, reference: float = 1.0,
+                    block: int = 256) -> jax.Array:
+    """Pair-form ``block_agc``: per-block RMS normalization."""
+    n = xp.shape[1]
+    nb = -(-n // block)
+    v = jnp.pad(xp, ((0, 0), (0, nb * block - n))).reshape(2, nb, block)
+    rms = jnp.sqrt(jnp.mean(v[0] ** 2 + v[1] ** 2, axis=1,
+                            keepdims=True)) + 1e-12          # (nb, 1)
+    return (v * (reference / rms)[None]).reshape(2, -1)[:, :n]
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_bank(chunk: int, nch: int, f_lo: float, f_hi: float, nbins: int):
+    """Constants for a chunk-factorized DFT over a static frequency grid:
+    per-chunk cos/sin bases (chunk, nbins) and chunk-combination phasors
+    (nch, nbins), evaluated in float64 then cast (exact arguments, no f32
+    range-reduction error at large t)."""
+    freqs = np.linspace(f_lo, f_hi, nbins, endpoint=False).astype(np.float64)
+    u = np.arange(chunk, dtype=np.float64)
+    ang_u = 2 * np.pi * np.outer(u, freqs)
+    c = np.arange(nch, dtype=np.float64) * chunk
+    ang_c = 2 * np.pi * np.outer(c, freqs)
+    return (freqs.astype(np.float32),
+            np.cos(ang_u).astype(np.float32), np.sin(ang_u).astype(np.float32),
+            np.cos(ang_c).astype(np.float32), np.sin(ang_c).astype(np.float32))
+
+
+def _dft_grid_mag(sr: jax.Array, si: jax.Array, chunk: int, bank) -> jax.Array:
+    """|DFT|^2 of the complex signal (sr, si) planes on the bank's static
+    frequency grid, chunk-factorized:
+    X(f_k) = sum_c P_c(f_k) * sum_u s[cC+u] e^{-j2pi f_k u},
+    P_c = e^{-j2pi f_k cC}. The inner sums are two stacked (nch, 2C) @
+    (2C, nbins) MXU matmuls; the combination is a tiny elementwise pass —
+    no complex dtype anywhere."""
+    _, Bc, Bs, Pc, Ps = bank
+    nch = sr.shape[0] // chunk
+    Sr = sr.reshape(nch, chunk)
+    Si = si.reshape(nch, chunk)
+    B1 = jnp.concatenate([jnp.asarray(Bc), jnp.asarray(Bs)], axis=0)
+    Zr = jnp.dot(jnp.concatenate([Sr, Si], axis=1), B1,
+                 preferred_element_type=jnp.float32)
+    Zi = jnp.dot(jnp.concatenate([Si, -Sr], axis=1), B1,
+                 preferred_element_type=jnp.float32)
+    Pc_, Ps_ = jnp.asarray(Pc), jnp.asarray(Ps)
+    Xr = jnp.sum(Zr * Pc_ + Zi * Ps_, axis=0)          # (nbins,)
+    Xi = jnp.sum(Zi * Pc_ - Zr * Ps_, axis=0)
+    return Xr * Xr + Xi * Xi
+
+
+def coarse_cfo_estimate_pairs(xp: jax.Array, nfft: int = 1 << 16,
+                              max_freq: float = 0.2, chunk: int = 1024,
+                              n1: int = 4096,
+                              zoom_bins: int = 256) -> jax.Array:
+    """Pair-form coarse CFO estimate: the squared-BPSK spectral line located
+    with a two-stage chunk-factorized matmul DFT instead of an FFT (this
+    platform's TPU backend has no complex dtype and no FFT; a DFT bank on
+    the MXU is the TPU-native replacement).
+
+    Stage 1 searches the full +-2*max_freq band with a SHORT window (n1
+    samples) on a half-bin grid (step 1/(2*n1)), so the windowed line can
+    never fall between grid points — a fine grid under a long window would
+    need ~n*4*max_freq bins, and a coarse grid under a long window misses
+    the narrow main lobe entirely (the failure mode that killed the
+    single-stage design). Stage 2 derotates the full-window squared signal
+    by the stage-1 estimate (dynamic-frequency rotation — plain cos/sin)
+    and zooms with a +-1/(2*n1) static grid of ``zoom_bins`` around zero,
+    then 3-point parabolic refinement: final resolution ~1e-6
+    cycles/sample, finer than the FFT version's bin-limited estimate.
+    """
+    T = int(xp.shape[1])
+    n = min(nfft, T)
+    nch = max(n // chunk, 1)
+    n = nch * chunk
+    r, i = xp[0, :n], xp[1, :n]
+    sr = r * r - i * i                         # squared signal planes
+    si = 2.0 * r * i
+    # ---- stage 1: short window, half-bin grid over the whole band
+    m1 = min(n1, n)
+    res1 = 1.0 / (2 * m1)
+    nbins1 = int(np.ceil(4 * max_freq / res1))
+    win1 = jnp.asarray(np.hanning(m1).astype(np.float32))
+    bank1 = _dft_bank(min(chunk, m1), m1 // min(chunk, m1),
+                      -2 * max_freq, -2 * max_freq + nbins1 * res1, nbins1)
+    mag1 = _dft_grid_mag(sr[:m1] * win1, si[:m1] * win1, min(chunk, m1),
+                         bank1)
+    f1 = jnp.asarray(bank1[0])[jnp.argmax(mag1)]       # line freq, coarse
+    # ---- stage 2: derotate by f1 (dynamic), zoom +-res1 on the full window
+    t = jnp.arange(n, dtype=jnp.float32)
+    ph = 2 * jnp.pi * f1 * t
+    c_, s_ = jnp.cos(ph), jnp.sin(ph)
+    dr = sr * c_ + si * s_                     # s * e^{-j 2pi f1 t}
+    di = si * c_ - sr * s_
+    win = jnp.asarray(np.hanning(n).astype(np.float32))
+    zoom_span = 2 * res1
+    dfz = zoom_span / zoom_bins
+    bank2 = _dft_bank(chunk, nch, -res1, -res1 + zoom_bins * dfz, zoom_bins)
+    mag = _dft_grid_mag(dr * win, di * win, chunk, bank2)
+    k = jnp.argmax(mag)
+    km = jnp.clip(k - 1, 0, zoom_bins - 1)
+    kp = jnp.clip(k + 1, 0, zoom_bins - 1)
+    lm = jnp.log(mag[km] + 1e-30)
+    l0 = jnp.log(mag[k] + 1e-30)
+    lp = jnp.log(mag[kp] + 1e-30)
+    denom = lm - 2 * l0 + lp
+    delta = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (lm - lp) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    f2 = f1 + jnp.float32(-res1) + (k.astype(jnp.float32) + delta) * dfz
+    return f2 * 0.5                                    # line sits at 2*f_cfo
+
+
+def vv_carrier_recovery_pairs(sp: jax.Array, block: int = 64) -> jax.Array:
+    """Pair-form ``vv_carrier_recovery`` (Viterbi&Viterbi, M=2)."""
+    r, i = sp[0], sp[1]
+    n = r.shape[0]
+    nb = -(-n // block)
+    pad = nb * block - n
+    vr = jnp.pad(r, (0, pad)).reshape(nb, block)
+    vi = jnp.pad(i, (0, pad)).reshape(nb, block)
+    s2r = jnp.mean(vr * vr - vi * vi, axis=1)
+    s2i = jnp.mean(2.0 * vr * vi, axis=1)
+    ph2 = jnp.arctan2(s2i, s2r)                       # 2*phase, mod 2pi
+    d = jnp.diff(ph2)
+    d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+    ph2u = jnp.concatenate([ph2[:1], ph2[0] + jnp.cumsum(d)])
+    ph = ph2u * 0.5
+    centers = (jnp.arange(nb) + 0.5) * block
+    t = jnp.arange(n, dtype=jnp.float32)
+    phi = jnp.interp(t, centers, ph)
+    c, s = jnp.cos(phi), jnp.sin(phi)
+    return jnp.stack([r * c + i * s, i * c - r * s])
+
+
+@partial(jax.jit, static_argnames=("sps", "nfilts", "excess_bw", "ntaps_per",
+                                   "block_syms", "loop_bw", "rate_clip",
+                                   "probe_syms"))
+def pfb_clock_sync_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
+                         excess_bw: float = 0.35, ntaps_per: int = 11,
+                         block_syms: int = 64, loop_bw: float = 0.06,
+                         rate_clip: float = 0.002, probe_syms: int = 256,
+                         state0=None):
+    """Pair-form ``pfb_clock_sync``: planes in, (2, nsym) planes out. The
+    tracking core is already all-real (the complex API splits to planes
+    internally); this entry point simply never touches a complex dtype."""
+    ys, state = _pfb_core(xp[0], xp[1], sps, nfilts, excess_bw, ntaps_per,
+                          block_syms, loop_bw, rate_clip, probe_syms, state0)
+    return ys, state
+
+
+def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
+                   nfilts: int = 32, agc_block: int = 256,
+                   carrier_block: int = 64,
+                   max_freq: float = 0.2) -> jax.Array:
+    """Device-resident receive chain in pair form: (2, T) samples ->
+    (2, nsym) 1-sample/symbol soft BPSK symbols. The TPU path of
+    ``rx_chain`` (which needs a complex-capable backend); feed plane 0
+    (the real part) to ``parallel.StreamReceiver.receive``."""
+    xp = block_agc_pairs(xp, block=agc_block)
+    f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
+    xp = mix_pairs(xp, f)
+    yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
+                                      excess_bw=excess_bw)
+    return vv_carrier_recovery_pairs(yp, block=carrier_block)

@@ -375,13 +375,15 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
 
     if not early_exit:
-        def body(_i, carry):
-            Mmsg, _Em = carry
-            Em = check_step(Mmsg)
-            Mnew = base + mm(G2, split(Em))
-            return Mnew, Em
-        _, Em = jax.lax.fori_loop(0, iterations, body,
-                                  (Mmsg0, jnp.zeros_like(Mmsg0)))
+        # the last iteration's bit-message update is dead (only Em feeds
+        # the final LLR), so loop iterations-1 times and run one trailing
+        # check step — one fewer Gram matmul + split per decode, and the
+        # carry holds only the messages
+        def body(_i, Mmsg):
+            return base + mm(G2, split(check_step(Mmsg)))
+        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0)
+        Em = (check_step(Mlast) if iterations > 0
+              else jnp.zeros_like(Mmsg0))
         L = mm(bcm2, split(Em)) + degr
         out_ref[:] = (L <= 0).astype(jnp.int8)
         return
@@ -454,13 +456,12 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         return (sg * (prod_alpha * min_excl)).reshape(E, Bt)
 
     if not early_exit:
-        def body(_i, carry):
-            Lq, _Lr = carry
-            Lr = check_step(Lq)
-            Lq_new = base + mm(G2, split(Lr))
-            return Lq_new, Lr
-        _, Lr = jax.lax.fori_loop(0, iterations, body,
-                                  (Lq0, jnp.zeros_like(Lq0)))
+        # last iteration's Lq update is dead — see the sum-product kernel
+        def body(_i, Lq):
+            return base + mm(G2, split(check_step(Lq)))
+        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0)
+        Lr = (check_step(Lqlast) if iterations > 0
+              else jnp.zeros_like(Lq0))
         LQ = Lci + mm(bcm2, split(Lr))
         out_ref[:] = (LQ < 0).astype(jnp.int8)
         return
@@ -578,14 +579,13 @@ def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
         return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
 
     if not early_exit:
-        def body(_i, carry):
-            Mmsg, _Em = carry
+        # last iteration's bit-message update is dead (see the Gram kernel)
+        def body(_i, Mmsg):
             Em = check_step(Mmsg)
-            A = mm(bcm, Em)                              # (N, Bt) var sums
-            Mnew = base + mm(bcmT, A) - Em
-            return Mnew, Em
-        _, Em = jax.lax.fori_loop(0, iterations, body,
-                                  (Mmsg0, jnp.zeros_like(Mmsg0)))
+            return base + mm(bcmT, mm(bcm, Em)) - Em
+        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0)
+        Em = (check_step(Mlast) if iterations > 0
+              else jnp.zeros_like(Mmsg0))
         L = mm(bcm, Em) + degr
         out_ref[:] = (L <= 0).astype(jnp.int8)
         return
@@ -649,14 +649,13 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
         return (sg * (prod_alpha * min_excl)).reshape(E, Bt)
 
     if not early_exit:
-        def body(_i, carry):
-            Lq, _Lr = carry
+        # last iteration's Lq update is dead (see the Gram kernel)
+        def body(_i, Lq):
             Lr = check_step(Lq)
-            A = mm(bcm, Lr)                              # (N, Bt)
-            Lq_new = base + mm(bcmT, A) - Lr
-            return Lq_new, Lr
-        _, Lr = jax.lax.fori_loop(0, iterations, body,
-                                  (Lq0, jnp.zeros_like(Lq0)))
+            return base + mm(bcmT, mm(bcm, Lr)) - Lr
+        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0)
+        Lr = (check_step(Lqlast) if iterations > 0
+              else jnp.zeros_like(Lq0))
         LQ = Lci + mm(bcm, Lr)
         out_ref[:] = (LQ < 0).astype(jnp.int8)
         return

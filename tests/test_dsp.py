@@ -264,3 +264,87 @@ def test_rx_chain_to_stream_receiver_end_to_end():
     assert out.acquisition is not None, "receiver never locked"
     # acquisition consumes the chain-settle head; the tail must be intact
     assert msg[len(msg) // 2:] in out.data
+
+
+# ---------------------------------------------------------------------------
+# pair-form (complex-free) chain: the TPU path on backends without complex
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_roundtrip_and_stagewise_equivalence():
+    """Each *_pairs stage must match its complex counterpart (same math on
+    (2, T) f32 planes; floating-point reassociation only)."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(4096) + 1j * rng.standard_normal(4096)
+         ).astype(np.complex64)
+    xj = jnp.asarray(x)
+    xp = dsp.to_pairs(xj)
+    np.testing.assert_array_equal(np.asarray(dsp.from_pairs(xp)), x)
+    # mix
+    a = np.asarray(dsp.mix(xj, 0.013, phase0=0.7))
+    b = np.asarray(dsp.from_pairs(dsp.mix_pairs(xp, 0.013, phase0=0.7)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    # block AGC
+    a = np.asarray(dsp.block_agc(3.0 * xj))
+    b = np.asarray(dsp.from_pairs(dsp.block_agc_pairs(3.0 * xp)))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    # V&V carrier recovery
+    a = np.asarray(dsp.vv_carrier_recovery(xj, block=64))
+    b = np.asarray(dsp.from_pairs(dsp.vv_carrier_recovery_pairs(xp, block=64)))
+    np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_pfb_clock_sync_pairs_matches_complex():
+    _, rx = _shaped_bpsk(nsym=2000, seed=3)
+    yc, state_c = dsp.pfb_clock_sync(jnp.asarray(rx), sps=2)
+    yp, state_p = dsp.pfb_clock_sync_pairs(dsp.to_pairs(jnp.asarray(rx)),
+                                           sps=2)
+    np.testing.assert_allclose(np.asarray(yc),
+                               np.asarray(dsp.from_pairs(yp)), atol=1e-5)
+    for a, b in zip(state_c, state_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("f0", [-0.11, 0.0137, 0.19])
+def test_coarse_cfo_estimate_pairs(f0):
+    """The chunk-factorized matmul-DFT estimator (no FFT, no complex dtype)
+    must locate an injected carrier offset to ~1e-4 cycles/sample."""
+    _, tx = _shaped_bpsk(nsym=6000, seed=7)
+    rng = np.random.default_rng(7)
+    tx = tx + (rng.standard_normal(len(tx)) * 0.02).astype(np.complex64)
+    rx = np.asarray(dsp.mix(jnp.asarray(tx), -f0))  # inject +f0
+    f_hat = float(dsp.coarse_cfo_estimate_pairs(
+        dsp.to_pairs(jnp.asarray(rx))))
+    assert abs(f_hat - f0) < 3e-4, (f_hat, f0)
+
+
+def test_rx_chain_pairs_to_stream_receiver_end_to_end():
+    """Pair-form device-resident chain -> receiver, same regime as the
+    complex test: 0.01 carrier offset, 50 ppm clock drift, noise."""
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    code = get_code("block_32_64")
+    msg = (b"rx_chain_pairs: complex-free example4 on the TPU backend! " * 40)
+    data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+    tx_syms = np.asarray(encode_to_symbols(jnp.asarray(data), code)
+                         ).reshape(-1)
+    taps = dsp.rrc_taps(2, 0.35, 45)
+    shaped = np.asarray(dsp.pulse_shape(jnp.asarray(tx_syms), 2, taps))
+    rng = np.random.default_rng(9)
+    # impairments in pair form end to end (per-plane resample is exact for
+    # the real-tap polyphase interpolator)
+    rp = jnp.stack([
+        dsp.fractional_resample(jnp.asarray(shaped), 1 + 50e-6),
+        jnp.zeros_like(dsp.fractional_resample(jnp.asarray(shaped),
+                                               1 + 50e-6))])
+    rp = dsp.mix_pairs(rp, -0.01)
+    noise = rng.standard_normal((2, rp.shape[1])).astype(np.float32) * 0.05
+    rp = 2.5 * (rp + jnp.asarray(noise))
+
+    sp = dsp.rx_chain_pairs(rp, sps=2)
+    recv = StreamReceiver(code=code, iterations=8)
+    out = recv.receive(sp[0])         # real plane feeds the frame sync
+    assert out.acquisition is not None, "receiver never locked"
+    assert msg[len(msg) // 2:] in out.data

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
-"""Device-resident receive-chain throughput: ops.dsp.rx_chain + StreamReceiver.
+"""Device-resident receive-chain throughput: dsp.rx_chain_pairs + StreamReceiver.
 
-Measures the full example4-equivalent chain — block AGC, squaring-FFT coarse
+Measures the full example4-equivalent chain — block AGC, matmul-DFT coarse
 CFO, polyphase clock recovery (block-scan), Viterbi&Viterbi carrier — over an
 impaired sample stream (50 ppm clock drift, 0.01 cycles/sample carrier
 offset, AWGN), then the end-to-end payload recovery through the mesh
-StreamReceiver. The chain is timed with the same two-length slope method as
-bench.py (the tunnel RTT cancels in the difference); the receive step is a
-single wall-clock pipeline measure.
+StreamReceiver. Everything runs in PAIR form ((2, T) f32 planes): this
+platform's TPU backend supports no complex dtype at all (probed op-by-op,
+round 3), so the complex-free chain is the only one that can be
+device-resident here — and it is the faster layout on any TPU. The chain is
+timed with the same two-length slope method as bench.py (the tunnel RTT
+cancels in the difference); the receive step is a single wall-clock pipeline
+measure through the fused single-dispatch receiver.
 
 Writes one JSON line; `python tools/bench_chain.py --save` records it to
 results/chain_r3.json.
@@ -16,19 +20,27 @@ results/chain_r3.json.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 import jax
+
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _impaired_stream(code, n_frames, key, f_off=0.01, ppm=50e-6,
-                     noise=0.05, sps=2):
+def _impaired_stream_pairs(code, n_frames, key, f_off=0.01, ppm=50e-6,
+                           noise=0.05, sps=2):
+    """(2, T) impaired sample planes + the transmitted payload bytes."""
     from gr_ldpc_ece535a_tpu.ops import dsp, encode_to_symbols
 
     kd, kn = jax.random.split(key)
@@ -36,13 +48,12 @@ def _impaired_stream(code, n_frames, key, f_off=0.01, ppm=50e-6,
                               jnp.int32).astype(jnp.uint8)
     tx = encode_to_symbols(data, code).reshape(-1)
     taps = dsp.rrc_taps(sps, 0.35, 45)
-    shaped = dsp.pulse_shape(tx, sps, taps)
+    shaped = dsp.pulse_shape(tx, sps, taps)          # real f32
     drifted = dsp.fractional_resample(shaped, 1.0 + ppm)
-    rot = dsp.mix(drifted, -f_off)
-    n = (jax.random.normal(kn, (rot.shape[0],), jnp.float32)
-         + 1j * jax.random.normal(jax.random.fold_in(kn, 1),
-                                  (rot.shape[0],), jnp.float32))
-    return (rot + noise * n.astype(jnp.complex64)), data
+    xp = jnp.stack([drifted, jnp.zeros_like(drifted)])
+    xp = dsp.mix_pairs(xp, -f_off)                   # inject +f_off carrier
+    n = jax.random.normal(kn, (2, xp.shape[1]), jnp.float32)
+    return xp + noise * n, data
 
 
 def main() -> None:
@@ -54,36 +65,36 @@ def main() -> None:
     sps = 2
     n_frames = 1 << 13                      # 8192 frames -> 524288 symbols
     key = jax.random.PRNGKey(3)
-    rx, data = _impaired_stream(code, n_frames, key, sps=sps)
-    rx_half = rx[: rx.shape[0] // 2]
+    rx, data = _impaired_stream_pairs(code, n_frames, key, sps=sps)
+    rx_half = rx[:, : rx.shape[1] // 2]
     jax.block_until_ready((rx, rx_half))
 
-    chain = jax.jit(lambda x: dsp.rx_chain(x, sps=sps))
+    chain = jax.jit(lambda x: dsp.rx_chain_pairs(x, sps=sps))
     # warm both lengths, then slope-time: per-sample cost from the length
     # difference (fixed dispatch/RTT overheads cancel)
-    np.asarray(chain(rx)[:4])
-    np.asarray(chain(rx_half)[:4])
+    np.asarray(chain(rx)[:, :4])
+    np.asarray(chain(rx_half)[:, :4])
 
     def best_time(x, reps=4):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(chain(x)[:4])
+            np.asarray(chain(x)[:, :4])
             best = min(best, time.perf_counter() - t0)
         return best
 
     t_full, t_half = best_time(rx), best_time(rx_half)
-    n_samp = int(rx.shape[0] - rx_half.shape[0])
+    n_samp = int(rx.shape[1] - rx_half.shape[1])
     samples_per_s = n_samp / max(t_full - t_half, 1e-9)
 
-    # end-to-end: chain + frame sync + sharded decode + payload fetch
-    syms = chain(rx)
-    recv = StreamReceiver(code=code, iterations=5)
-    recv.receive(syms)  # warm compile at this shape/offset
+    # end-to-end: chain + frame sync + fused decode + payload fetch
+    syms = chain(rx)[0]                     # real plane feeds frame sync
+    recv = StreamReceiver(code=code, iterations=8)
+    recv.receive(syms, fetch_weights=False)  # warm compile at this shape
     jax.block_until_ready(syms)
     t0 = time.perf_counter()
-    syms = chain(rx)
-    out = recv.receive(syms)
+    syms = chain(rx)[0]
+    out = recv.receive(syms, fetch_weights=False)
     wall = time.perf_counter() - t0
     payload = np.asarray(data).tobytes()
     ok = out.data and out.data[len(out.data) // 2:] in payload
@@ -98,6 +109,7 @@ def main() -> None:
         "payload_tail_recovered": bool(ok),
         "impairments": {"freq_offset": 0.01, "clock_ppm": 50,
                         "noise": 0.05, "sps": sps},
+        "form": "pairs (complex-free; backend has no complex dtype)",
         "backend": jax.devices()[0].platform,
     })
     print(line)
