@@ -678,15 +678,25 @@ def pfb_clock_sync_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
 
 def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
                    nfilts: int = 32, agc_block: int = 256,
-                   carrier_block: int = 64,
-                   max_freq: float = 0.2) -> jax.Array:
+                   carrier_block: int = 64, max_freq: float = 0.2,
+                   timing_block_syms: int = 64) -> jax.Array:
     """Device-resident receive chain in pair form: (2, T) samples ->
     (2, nsym) 1-sample/symbol soft BPSK symbols. The TPU path of
     ``rx_chain`` (which needs a complex-capable backend); feed plane 0
-    (the real part) to ``parallel.StreamReceiver.receive``."""
+    (the real part) to ``parallel.StreamReceiver.receive``.
+
+    timing_block_syms: the clock-tracking scan processes this many symbols
+    per sequential step; the scan's step latency — not compute — bounds
+    chain throughput on a TPU, so larger blocks are proportionally faster.
+    The loop corrects once per block, so intra-block drift must stay well
+    under the 1/nfilts phase grid: at 256 symbols that holds to ~60 ppm
+    clock offset (256*sps*6e-5 ~= 0.031), at 64 to ~240 ppm. Lock under
+    +-50 ppm is pinned by tests at both sizes.
+    """
     xp = block_agc_pairs(xp, block=agc_block)
     f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
     xp = mix_pairs(xp, f)
     yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
-                                      excess_bw=excess_bw)
+                                      excess_bw=excess_bw,
+                                      block_syms=timing_block_syms)
     return vv_carrier_recovery_pairs(yp, block=carrier_block)

@@ -348,3 +348,32 @@ def test_rx_chain_pairs_to_stream_receiver_end_to_end():
     out = recv.receive(sp[0])         # real plane feeds the frame sync
     assert out.acquisition is not None, "receiver never locked"
     assert msg[len(msg) // 2:] in out.data
+
+
+@pytest.mark.parametrize("ratio", [1 + 50e-6, 1 - 50e-6])
+def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio):
+    """timing_block_syms=256 (4x fewer sequential tracking steps — the
+    chain's TPU throughput knob) must still lock under +-50 ppm drift plus
+    a 0.01 carrier offset."""
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    code = get_code("block_32_64")
+    msg = (b"large timing blocks on the scan, still locked at 50ppm! " * 40)
+    data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+    tx_syms = np.asarray(encode_to_symbols(jnp.asarray(data), code)
+                         ).reshape(-1)
+    taps = dsp.rrc_taps(2, 0.35, 45)
+    shaped = np.asarray(dsp.pulse_shape(jnp.asarray(tx_syms), 2, taps))
+    res = dsp.fractional_resample(jnp.asarray(shaped), ratio)
+    rp = jnp.stack([res, jnp.zeros_like(res)])
+    rp = dsp.mix_pairs(rp, -0.01)
+    rng = np.random.default_rng(11)
+    rp = rp + jnp.asarray(rng.standard_normal((2, rp.shape[1]))
+                          .astype(np.float32) * 0.05)
+    sp = dsp.rx_chain_pairs(rp, sps=2, timing_block_syms=256)
+    recv = StreamReceiver(code=code, iterations=8)
+    out = recv.receive(sp[0])
+    assert out.acquisition is not None, "receiver never locked"
+    assert msg[len(msg) // 2:] in out.data

@@ -69,13 +69,7 @@ def main() -> None:
     rx_half = rx[:, : rx.shape[1] // 2]
     jax.block_until_ready((rx, rx_half))
 
-    chain = jax.jit(lambda x: dsp.rx_chain_pairs(x, sps=sps))
-    # warm both lengths, then slope-time: per-sample cost from the length
-    # difference (fixed dispatch/RTT overheads cancel)
-    np.asarray(chain(rx)[:, :4])
-    np.asarray(chain(rx_half)[:, :4])
-
-    def best_time(x, reps=4):
+    def best_time(chain, x, reps=4):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -83,9 +77,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_full, t_half = best_time(rx), best_time(rx_half)
-    n_samp = int(rx.shape[1] - rx_half.shape[1])
-    samples_per_s = n_samp / max(t_full - t_half, 1e-9)
+    # the clock-tracking scan's sequential step latency bounds throughput;
+    # measure both tracking block sizes (the 256 config is 4x fewer steps
+    # and holds lock to ~60 ppm drift — pinned by tests)
+    rates = {}
+    chains = {}
+    for tbs in (64, 256):
+        chain = jax.jit(lambda x, t=tbs: dsp.rx_chain_pairs(
+            x, sps=sps, timing_block_syms=t))
+        chains[tbs] = chain
+        # warm both lengths, then slope-time: per-sample cost from the
+        # length difference (fixed dispatch/RTT overheads cancel)
+        np.asarray(chain(rx)[:, :4])
+        np.asarray(chain(rx_half)[:, :4])
+        t_full, t_half = best_time(chain, rx), best_time(chain, rx_half)
+        n_samp = int(rx.shape[1] - rx_half.shape[1])
+        rates[tbs] = n_samp / max(t_full - t_half, 1e-9)
+    tbs_best = max(rates, key=rates.get)
+    chain = chains[tbs_best]
+    samples_per_s = rates[tbs_best]
 
     # end-to-end: chain + frame sync + fused decode + payload fetch
     syms = chain(rx)[0]                     # real plane feeds frame sync
@@ -109,6 +119,8 @@ def main() -> None:
         "payload_tail_recovered": bool(ok),
         "impairments": {"freq_offset": 0.01, "clock_ppm": 50,
                         "noise": 0.05, "sps": sps},
+        "timing_block_syms": tbs_best,
+        "samples_per_s_by_timing_block": rates,
         "form": "pairs (complex-free; backend has no complex dtype)",
         "backend": jax.devices()[0].platform,
     })
