@@ -29,6 +29,18 @@ def main() -> None:
                     help="feed decoded bytes to an image sink writing here")
     ap.add_argument("--method", type=int, default=0)
     ap.add_argument("--iterations", type=int, default=5)
+    ap.add_argument("--chain", action="store_true",
+                    help="input is a raw SAMPLE stream (e.g. 2 samples/"
+                         "symbol off a channel with carrier offset and "
+                         "clock drift): run the device-resident receive "
+                         "chain (AGC -> matmul-DFT CFO -> polyphase "
+                         "timing -> V&V carrier, complex-free pair form) "
+                         "before frame sync")
+    ap.add_argument("--sps", type=int, default=2,
+                    help="samples/symbol for --chain")
+    ap.add_argument("--timing-block-syms", type=int, default=64,
+                    help="--chain tracking block (256 = fastest, locks "
+                         "to ~60 ppm drift)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (8 virtual devices)")
     args = ap.parse_args()
@@ -44,7 +56,18 @@ def main() -> None:
 
     symbols = np.fromfile(args.infile, np.complex64)
     rx = StreamReceiver(method=args.method, iterations=args.iterations)
-    res = rx.receive(symbols)
+    if args.chain:
+        import jax.numpy as jnp
+
+        from gr_ldpc_ece535a_tpu.ops import dsp
+
+        xp = jnp.asarray(np.stack([symbols.real, symbols.imag])
+                         .astype(np.float32))
+        sp = dsp.rx_chain_pairs(xp, sps=args.sps,
+                                timing_block_syms=args.timing_block_syms)
+        res = rx.receive(sp[0])          # real plane feeds the frame sync
+    else:
+        res = rx.receive(symbols)
     if res.acquisition is None:
         print("no sync lock found", file=sys.stderr)
         sys.exit(1)
