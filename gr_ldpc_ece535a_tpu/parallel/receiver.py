@@ -137,7 +137,14 @@ def _fused_receiver_program(code, method, iterations, threshold, n_off,
         off = jnp.where(ok, best // 2, 0)
         pol = jnp.where(ok, best % 2, 0)
         body = jnp.where(pol > 0, -stream, stream)
-        ext = jnp.concatenate([body, jnp.zeros(N, jnp.float32)])
+        # tail padding must cover the FULL searched offset range: the
+        # dynamic_slice start clamps to [0, len(ext) - F*N], so padding
+        # only N zeros silently mis-decoded any lock offset > N (round-3
+        # advisor finding). Offsets reach n_off - 1, so pad that many
+        # frame periods; the zero tail frames fail the syndrome accept
+        # and the host truncates to n_valid = (T - offset) // N anyway.
+        pad = max(N, ((n_off - 1 + N - 1) // N) * N)
+        ext = jnp.concatenate([body, jnp.zeros(pad, jnp.float32)])
         frames = jax.lax.dynamic_slice_in_dim(ext, off, F * N).reshape(F, N)
         vhat = dec(frames)
         wf = syndrome_weight(vhat, code.H)
@@ -359,7 +366,11 @@ class StreamReceiver:
                 data=b"", acquisition=None, n_frames=0,
                 accepted=np.zeros(0, bool), weights=np.zeros(0, np.int32),
                 timings={"acquire_s": t_acquire})
-        # frames fully contained in the stream from the lock point
+        # frames fully contained in the stream from the lock point; the
+        # sharded decode takes the frame-grid PHASE in [0, N) — a lock
+        # offset >= N means `skip` whole frame periods before the lock
+        # point whose decodes are pre-lock noise and are dropped below
+        skip, phase = divmod(acq.offset, N)
         n_valid = (T - acq.offset) // N
         # pad to a whole number of frame periods per shard (padding symbols
         # only feed frames that are dropped below)
@@ -377,7 +388,7 @@ class StreamReceiver:
             stream_dev = jnp.asarray(padded)
         out, w = shard_stream_decode(
             stream_dev, code, self.mesh, method=self.method,
-            iterations=self.iterations, offset=acq.offset,
+            iterations=self.iterations, offset=phase,
             stream_axis=self.stream_axis, return_packed=packed_ok,
             kernel_mode=self.kernel_mode)
         bitmask = fetch_weights is False and packed_ok
@@ -401,16 +412,16 @@ class StreamReceiver:
             timings["decode_fetch_s"] = t_fetch
         t0 = time.perf_counter()
         if bitmask:
-            accepted = np.unpackbits(w_np)[:n_valid].astype(bool)
+            accepted = np.unpackbits(w_np)[skip:skip + n_valid].astype(bool)
             w = np.zeros(0, np.int32)
         else:
-            w = w_np[:n_valid].astype(np.int32)
+            w = w_np[skip:skip + n_valid].astype(np.int32)
             accepted = w <= self.threshold
         if packed_ok:
-            packed = out_np[:n_valid]           # (F, K//8) uint8
+            packed = out_np[skip:skip + n_valid]    # (F, K//8) uint8
             payload = packed[accepted].reshape(-1).tobytes()
         else:
-            vhat = out_np[:n_valid]
+            vhat = out_np[skip:skip + n_valid]
             data_bits = vhat[accepted][:, code.M:].astype(np.uint8)
             payload = (pack_bits_np(data_bits).reshape(-1).tobytes()
                        if data_bits.size else b"")
@@ -430,8 +441,24 @@ class StreamReceiver:
         verify = 4                               # acquire()'s default
         L = 1 + verify
         t0 = time.perf_counter()
-        T_padded = ((T + N - 1) // N) * N
-        n_off = min(self.acquire_window, T_padded - L * N + 1)
+        # bucket the padded frame count so the lru-cached whole-stream
+        # program compiles once per bucket instead of once per distinct
+        # stream length (round-3 advisor finding: exact-T keys mean a
+        # multi-second recompile per length and unbounded cache growth).
+        # 4-significant-bit granularity: <= 6.25% wasted decode on the
+        # zero tail (rejected by syndrome + host-truncated to n_valid),
+        # <= 16 cached shapes per octave of stream length.
+        F_real = (T + N - 1) // N
+        if F_real > 16:
+            g = 1 << (F_real.bit_length() - 4)
+            F_pad = ((F_real + g - 1) // g) * g
+        else:
+            F_pad = F_real
+        T_padded = F_pad * N
+        # candidate offsets must keep their whole verify window inside the
+        # REAL samples — windows reaching into the zero tail would lock on
+        # the all-zero codeword
+        n_off = min(self.acquire_window, T - L * N + 1)
         if n_off <= 0:
             return ReceiveResult(
                 data=b"", acquisition=None, n_frames=0,

@@ -214,7 +214,11 @@ class TestStreamReceiver:
         # default's byte-per-frame weights would need
         assert bm.timings["fetch_bytes"] < ref.n_frames * (code.K // 8 + 1) + 16
 
-    @pytest.mark.parametrize("offset,invert", [(0, False), (19, True)])
+    # offset 130 > N=64 exercises the dynamic-slice tail padding: with
+    # only N pad zeros the slice start clamps and the whole body decodes
+    # from the wrong position (round-3 advisor high finding)
+    @pytest.mark.parametrize("offset,invert",
+                             [(0, False), (19, True), (130, True)])
     def test_receive_fused_single_shard_matches_two_phase(self, code, offset,
                                                           invert):
         """The single-dispatch fused receiver (1-shard mesh, device-resident
