@@ -359,10 +359,24 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
     beta = jnp.float32(4 * loop_bw * loop_bw / den)
 
     n = int(xr.shape[0])
-    win_len = block_syms * sps + L
-    nblocks = max((n - win_len - sps - 4) // (block_syms * sps), 0)
-    margin = int(rate_clip * nblocks * block_syms) + 2 * sps + 4
-    nblocks = max((n - win_len - margin) // (block_syms * sps), 0)
+    B = block_syms
+    # Per-symbol position model inside one block: pos_k = frac + k*(sps +
+    # rate), k = 0..B-1. Its integer part deviates from the nominal k*sps
+    # grid by d_k in [-B*rate_clip, 1 + B*rate_clip + 1]; D0/Dspan bound
+    # that deviation so every window index is static-shape.
+    D0 = int(math.ceil(B * rate_clip)) + 1
+    Dspan = 2 * D0 + 1
+    T = L + Dspan                       # per-symbol window columns
+    win_len = B * sps + T
+    nblocks = max((n - win_len - sps - 4) // (B * sps), 0)
+    margin = int(rate_clip * nblocks * B) + 2 * sps + 4
+    nblocks = max((n - win_len - margin) // (B * sps), 0)
+
+    # D0 leading zeros keep the window slice start (ibase) nonnegative
+    # when d_k < 0 early in a block; all ibase arithmetic stays in the
+    # ORIGINAL stream indexing (the pad cancels the -D0 column offset)
+    xr_p = jnp.concatenate([jnp.zeros(D0, xr.dtype), xr])
+    xi_p = jnp.concatenate([jnp.zeros(D0, xi.dtype), xi])
 
     if state0 is None:
         ibase0, frac0 = _pfb_init_search(xr, xi, bank, sps,
@@ -374,26 +388,110 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         frac0 = jnp.asarray(state0[1], jnp.float32)
         rate0 = jnp.asarray(state0[2], jnp.float32)
 
+    ks = jnp.arange(B, dtype=jnp.float32)
+    iota_f = jnp.arange(nfilts, dtype=jnp.int32)[None, :]
+    iota_d = jnp.arange(Dspan, dtype=jnp.int32)[None, :]
+
+    def filter_block(ibase, frac, rate, shift):
+        """Matched-filter one block at per-symbol interpolated instants
+        pos_k = frac + k*(sps + rate), with the polyphase index shifted
+        by ``shift`` quantization steps (+-1 = +-1/nfilts input samples —
+        used below to measure the discriminant's S-curve slope in-band).
+        Returns (yr, yi, u, pw): symbol planes, timing discriminant y·dy
+        and power, each (B,). All per-symbol work is vectorized: tap
+        rows via one-hot (B, nfilts) @ bank MXU matmuls, windows as
+        Dspan statically shifted views of a stride-sps window matrix
+        built from T static slices (no gather ops — TPU gathers
+        serialize)."""
+        posq = shift + jnp.round((frac + ks * (sps + rate)) * nfilts
+                                 ).astype(jnp.int32)        # (B,)
+        pidx = jnp.mod(posq, nfilts)
+        d = posq // nfilts - jnp.arange(B, dtype=jnp.int32) * sps + D0
+        d = jnp.clip(d, 0, Dspan - 1)                       # (B,) in [0,Dspan)
+        oh_p = (pidx[:, None] == iota_f).astype(jnp.float32)  # (B, nfilts)
+        tf = oh_p @ bank                                    # (B, L)
+        df = oh_p @ dbank
+        wr = jax.lax.dynamic_slice(xr_p, (ibase,), (win_len,))
+        wi = jax.lax.dynamic_slice(xi_p, (ibase,), (win_len,))
+        # W0[k, j] = w[k*sps + j]: T static stride-sps slices
+        W0r = jnp.stack([wr[j : j + B * sps : sps] for j in range(T)], 1)
+        W0i = jnp.stack([wi[j : j + B * sps : sps] for j in range(T)], 1)
+        # select the per-symbol shift: sum_d onehot(d) * W0[:, d : d + L]
+        oh = (d[:, None] == iota_d).astype(jnp.float32)     # (B, Dspan)
+        Wr_s = jnp.einsum("kd,dkl->kl", oh,
+                          jnp.stack([W0r[:, s : s + L]
+                                     for s in range(Dspan)]))
+        Wi_s = jnp.einsum("kd,dkl->kl", oh,
+                          jnp.stack([W0i[:, s : s + L]
+                                     for s in range(Dspan)]))
+        yr = jnp.sum(Wr_s * tf, axis=1)                     # (B,)
+        yi_ = jnp.sum(Wi_s * tf, axis=1)
+        dyr = jnp.sum(Wr_s * df, axis=1)
+        dyi = jnp.sum(Wi_s * df, axis=1)
+        return yr, yi_, yr * dyr + yi_ * dyi, yr * yr + yi_ * yi_
+
+    def half_errs(u, pw):
+        h = B // 2
+        e1 = jnp.mean(u[:h]) / (jnp.mean(pw[:h]) + 1e-12)
+        e2 = jnp.mean(u[h:]) / (jnp.mean(pw[h:]) + 1e-12)
+        return e1, e2
+
     def step(carry, _):
+        """One tracking block: per-symbol linear phase interpolation with
+        a SELF-CALIBRATING timing discriminant.
+
+        Each symbol k samples at its own interpolated instant frac +
+        k*(sps + rate), so block size no longer bounds the tolerable
+        clock drift (the round-3 limit ``block*sps*ppm << 1/nfilts``)
+        and the sequential scan — whose per-step LATENCY, not compute,
+        bounds chain throughput on TPU — runs B/64 times fewer steps.
+
+        A per-block alpha/beta loop cannot survive that step-count diet:
+        its raw discriminant e = <y·dy>/<y²> carries an unknown S-curve
+        gain g = de/dτ, and convergence needs tens of block updates a
+        large-block stream never provides (measured: rate settles at a
+        wrong value that per-block phase corrections silently absorb at
+        block 64-256, and poisons the intra-block interpolation at 1024+).
+        So the block is ALSO filtered at polyphase shifts +-1 (two more
+        fully-parallel passes) to measure g in-band: g = (e+ - e-) *
+        nfilts / 2, making tau = e/g the timing error in true input-
+        sample units. Half-block tau estimates then drive a damped
+        deadbeat update — their difference observes the residual rate
+        error directly, their mean the phase error — and lock settles
+        within a few blocks at ANY block size (pinned at 2048 symbols
+        under +-50 ppm drift in tests/test_dsp.py).
+        """
         ibase, frac, rate = carry
-        pq = jnp.round(frac * nfilts).astype(jnp.int32)
-        ib = ibase + pq // nfilts
-        pidx = pq % nfilts
-        tf = jnp.take(bank, pidx, axis=0)
-        df = jnp.take(dbank, pidx, axis=0)
-        wr = jax.lax.dynamic_slice(xr, (ib,), (win_len,))
-        wi = jax.lax.dynamic_slice(xi, (ib,), (win_len,))
-        yr = jnp.convolve(wr, tf[::-1], mode="valid")[::sps][:block_syms]
-        yi_ = jnp.convolve(wi, tf[::-1], mode="valid")[::sps][:block_syms]
-        dyr = jnp.convolve(wr, df[::-1], mode="valid")[::sps][:block_syms]
-        dyi = jnp.convolve(wi, df[::-1], mode="valid")[::sps][:block_syms]
-        p = jnp.mean(yr * yr + yi_ * yi_) + 1e-12
-        e = jnp.clip(jnp.mean(yr * dyr + yi_ * dyi) / p, -0.3, 0.3)
-        rate = jnp.clip(rate - beta * e, -rate_clip, rate_clip)
-        adv = frac + block_syms * sps + block_syms * rate - alpha * e
+        yr, yi_, u0, pw0 = filter_block(ibase, frac, rate, 0)
+        _, _, um, pwm = filter_block(ibase, frac, rate, -1)
+        _, _, up, pwp = filter_block(ibase, frac, rate, +1)
+        e1, e2 = half_errs(u0, pw0)
+        e1m, e2m = half_errs(um, pwm)
+        e1p, e2p = half_errs(up, pwp)
+        delta = 1.0 / nfilts                 # input samples per phase step
+        g1 = (e1p - e1m) / (2.0 * delta)
+        g2 = (e2p - e2m) / (2.0 * delta)
+        # tau in input samples; guard degenerate slopes (no signal) and
+        # clamp to the half-symbol capture range
+        tau1 = jnp.clip(e1 / jnp.where(jnp.abs(g1) < 1e-3, 1e-3, g1),
+                        -0.5 * sps, 0.5 * sps)
+        tau2 = jnp.clip(e2 / jnp.where(jnp.abs(g2) < 1e-3, 1e-3, g2),
+                        -0.5 * sps, 0.5 * sps)
+        h = B // 2
+        # gain schedule: tau noise scales ~1/sqrt(half-block), so large
+        # blocks take a near-deadbeat step (lock in ~2 blocks — all a
+        # short large-block stream provides) while small blocks damp
+        # toward the classic slow-loop regime; rate gain is the square
+        # of the phase gain (standard 2nd-order ordering)
+        a = float(np.clip(0.7 * B / 1024.0, 0.15, 0.7))
+        rate = jnp.clip(rate - (a * a) * (tau2 - tau1) / h,
+                        -rate_clip, rate_clip)
+        # tau extrapolated to the block end (the next block's start)
+        tau_end = tau2 + 0.5 * (tau2 - tau1)
+        adv = frac + B * sps + B * rate - a * tau_end
         stepi = jnp.floor(adv).astype(jnp.int32)
         return ((ibase + stepi, adv - stepi, rate),
-                jnp.stack([yr, yi_]))                       # (2, block_syms)
+                jnp.stack([yr, yi_]))                       # (2, B)
 
     (ibaseF, fracF, rateF), ys = jax.lax.scan(
         step, (ibase0, frac0, rate0), None, length=nblocks)
@@ -598,8 +696,15 @@ def coarse_cfo_estimate_pairs(xp: jax.Array, nfft: int = 1 << 16,
     cycles/sample, finer than the FFT version's bin-limited estimate.
     """
     T = int(xp.shape[1])
+    if T < 16:
+        raise ValueError(
+            f"coarse_cfo_estimate_pairs needs >= 16 samples, got {T}")
     n = min(nfft, T)
-    nch = max(n // chunk, 1)
+    # shrink the chunk for short streams so n = nch * chunk never exceeds
+    # the samples actually present (round-3 advisor finding: n > T made
+    # the window multiplies shape-mismatch)
+    chunk = min(chunk, n)
+    nch = n // chunk
     n = nch * chunk
     r, i = xp[0, :n], xp[1, :n]
     sr = r * r - i * i                         # squared signal planes

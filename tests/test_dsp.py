@@ -318,6 +318,19 @@ def test_coarse_cfo_estimate_pairs(f0):
     assert abs(f_hat - f0) < 3e-4, (f_hat, f0)
 
 
+def test_coarse_cfo_estimate_pairs_short_stream():
+    """Streams shorter than the chunk (1024) must not crash: the chunk
+    shrinks to fit (round-3 advisor finding), and absurdly short input
+    raises a clear ValueError."""
+    _, tx = _shaped_bpsk(nsym=200, seed=3)          # 400 samples < chunk
+    rx = np.asarray(dsp.mix(jnp.asarray(tx), -0.05))
+    f_hat = float(dsp.coarse_cfo_estimate_pairs(
+        dsp.to_pairs(jnp.asarray(rx))))
+    assert abs(f_hat - 0.05) < 5e-3, f_hat          # coarse but sane
+    with pytest.raises(ValueError, match="16 samples"):
+        dsp.coarse_cfo_estimate_pairs(jnp.zeros((2, 8), jnp.float32))
+
+
 def test_rx_chain_pairs_to_stream_receiver_end_to_end():
     """Pair-form device-resident chain -> receiver, same regime as the
     complex test: 0.01 carrier offset, 50 ppm clock drift, noise."""
@@ -351,10 +364,14 @@ def test_rx_chain_pairs_to_stream_receiver_end_to_end():
 
 
 @pytest.mark.parametrize("ratio", [1 + 50e-6, 1 - 50e-6])
-def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio):
-    """timing_block_syms=256 (4x fewer sequential tracking steps — the
+@pytest.mark.parametrize("block", [256, 2048])
+def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio, block):
+    """Large timing_block_syms (fewer sequential tracking steps — the
     chain's TPU throughput knob) must still lock under +-50 ppm drift plus
-    a 0.01 carrier offset."""
+    a 0.01 carrier offset. Since round 4 the tracker interpolates the
+    sampling phase per symbol inside each block, so block size no longer
+    bounds the tolerable drift — 2048-symbol blocks (32x fewer scan steps
+    than the round-3 default) lock at the same impairments."""
     from gr_ldpc_ece535a_tpu.codes import get_code
     from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
     from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
@@ -372,7 +389,7 @@ def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio):
     rng = np.random.default_rng(11)
     rp = rp + jnp.asarray(rng.standard_normal((2, rp.shape[1]))
                           .astype(np.float32) * 0.05)
-    sp = dsp.rx_chain_pairs(rp, sps=2, timing_block_syms=256)
+    sp = dsp.rx_chain_pairs(rp, sps=2, timing_block_syms=block)
     recv = StreamReceiver(code=code, iterations=8)
     out = recv.receive(sp[0])
     assert out.acquisition is not None, "receiver never locked"
