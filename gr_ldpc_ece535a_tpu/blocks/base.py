@@ -64,12 +64,25 @@ class Block:
 
 
 class _Edge:
-    """Host-side stream buffer between two blocks (numpy ring semantics)."""
+    """Host-side stream buffer between two blocks (numpy ring semantics).
 
-    def __init__(self, dtype) -> None:
+    ``capacity`` bounds the buffered item count, reproducing GNU Radio's
+    fixed-size circular-buffer backpressure (SURVEY.md L0): the scheduler
+    skips a producer whose downstream edge is full, so a fast source ahead
+    of a slow sink holds bounded memory instead of growing without limit.
+    The bound is soft — one work() call may overshoot it by its own output
+    batch, exactly like GR's granularity of one noutput_items call.
+    """
+
+    def __init__(self, dtype, capacity: Optional[int] = None) -> None:
         self.dtype = np.dtype(dtype)
         self.chunks: list[np.ndarray] = []
         self.size = 0
+        self.capacity = capacity
+
+    @property
+    def full(self) -> bool:
+        return self.capacity is not None and self.size >= self.capacity
 
     def push(self, data: np.ndarray) -> None:
         if data is not None and len(data):
@@ -95,12 +108,20 @@ class FlowGraph:
 
     ``connect(a, b, c, ...)`` wires a chain. Fan-out: connect(a, b) then
     connect(a, c) duplicates a's output to both consumers.
+
+    ``edge_capacity`` is the per-edge buffered-item bound (GR's circular
+    -buffer role): producers whose downstream edge is full are skipped
+    until the consumer drains it. The default (4 Mi items) is far above
+    any single work() batch in this repo while keeping a 10^7-item source
+    behind a throttle at ~MBs of buffer, not GBs. ``None`` disables the
+    bound.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, edge_capacity: Optional[int] = 4 << 20) -> None:
         self._blocks: list[Block] = []
         self._outs: dict[int, list[_Edge]] = {}   # block idx -> outgoing edges
         self._ins: dict[int, _Edge] = {}          # block idx -> incoming edge
+        self._edge_capacity = edge_capacity
 
     def _idx(self, b: Block) -> int:
         for i, x in enumerate(self._blocks):
@@ -120,7 +141,7 @@ class FlowGraph:
                 raise ValueError(
                     f"dtype mismatch {a}:{np.dtype(a.out_dtype)} -> "
                     f"{b}:{np.dtype(b.in_dtype)}")
-            edge = _Edge(a.out_dtype)
+            edge = _Edge(a.out_dtype, capacity=self._edge_capacity)
             self._outs.setdefault(ia, []).append(edge)
             if ib in self._ins:
                 raise ValueError(f"{b} already has an upstream connection")
@@ -136,6 +157,11 @@ class FlowGraph:
                 progressed = False
                 for i, b in enumerate(self._blocks):
                     out = None
+                    # backpressure: don't run a producer whose downstream
+                    # buffer is full — the consumer drains it first (GR's
+                    # circular-buffer throttling, SURVEY.md L0)
+                    if any(e.full for e in self._outs.get(i, [])):
+                        continue
                     if b.in_dtype is None:  # source
                         if b.done:
                             continue

@@ -240,3 +240,33 @@ def test_encoder_block_buckets_batch_shapes():
     # 8 distinct chunk sizes -> at most 5 bucket shapes (16/32/64/128 pads
     # cover 1..129 frames at powers of two >= 16)
     assert blk._enc._cache_size() <= 5
+
+
+def test_flowgraph_edge_backpressure_bounds_memory(monkeypatch):
+    """A 10^7-item source ahead of a rate-limited consumer must hold
+    bounded buffer, not the whole stream: the scheduler skips producers
+    whose downstream edge is full (GR's circular-buffer backpressure,
+    SURVEY.md L0 / round-3 VERDICT item 7)."""
+    from gr_ldpc_ece535a_tpu.blocks import base as base_mod
+    from gr_ldpc_ece535a_tpu.blocks import NullSink, Throttle, VectorSource
+
+    cap, chunk = 1 << 16, 65536
+    peak = {"size": 0}
+    orig_push = base_mod._Edge.push
+
+    def spy(self, data):
+        orig_push(self, data)
+        peak["size"] = max(peak["size"], self.size)
+
+    monkeypatch.setattr(base_mod._Edge, "push", spy)
+    total = 10**7
+    src = VectorSource(np.arange(256, dtype=np.uint8), repeat=True,
+                       max_items=total, chunk=chunk)
+    thr = Throttle(rate=2e8)          # finishes in ~50 ms wall minimum
+    sink = NullSink()
+    fg = base_mod.FlowGraph(edge_capacity=cap)
+    fg.connect(src, thr, sink)
+    fg.run()
+    assert sink.count == total
+    # soft bound: capacity + one producer batch of overshoot
+    assert peak["size"] <= cap + chunk, peak
