@@ -73,10 +73,17 @@ def _make_inputs(code, batch, key):
     return awgn(kn, tx, ebn0_db=4.0)
 
 
-def _chained(decode_fn, k: int):
-    """k data-dependent decodes of the same rx; returns a scalar."""
+def _chained(decode_fn):
+    """Chain of k data-dependent decodes of the same rx; returns a scalar.
 
-    def run(rx):
+    The chain length k is a TRACED argument (the fori_loop lowers to a
+    while_loop with a dynamic trip count), so ONE compiled program serves
+    every chain length — round 3 compiled a separate program per length,
+    and those duplicate cold remote compiles are what ate the driver's
+    bench budget before the precise/parity sections ran (VERDICT r3 #2).
+    """
+
+    def run(rx, k):
         def body(_i, carry):
             rx, acc = carry
             vhat = decode_fn(rx)
@@ -92,11 +99,11 @@ def _chained(decode_fn, k: int):
     return jax.jit(run)
 
 
-def _fetch_time(fn, rx, reps):
+def _fetch_time(fn, rx, k, reps):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn(rx))  # host fetch = true synchronization
+        np.asarray(fn(rx, k))  # host fetch = true synchronization
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -109,11 +116,12 @@ def time_decode(decode_fn, rx, k1: int = 1, k2: int = 25, reps: int = 4) -> floa
     signal-to-noise high against RTT jitter (widened from 8 links in round
     2 after observing ~±4% run-to-run spread on the ~4 ms kernels — jitter
     divides by the link count)."""
-    f1, f2 = _chained(decode_fn, k1), _chained(decode_fn, k2)
-    np.asarray(f1(rx))  # compile + warm
-    np.asarray(f2(rx))
-    t1 = _fetch_time(f1, rx, reps)
-    t2 = _fetch_time(f2, rx, reps)
+    f = _chained(decode_fn)
+    k1a, k2a = jnp.int32(k1), jnp.int32(k2)
+    np.asarray(f(rx, k1a))  # one compile serves both chain lengths
+    np.asarray(f(rx, k2a))  # warm the long chain too
+    t1 = _fetch_time(f, rx, k1a, reps)
+    t2 = _fetch_time(f, rx, k2a, reps)
     return max((t2 - t1) / (k2 - k1), 1e-12)
 
 
@@ -174,6 +182,14 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
 
 def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
                   n_batches: int = 8, remaining=None):
+    """On-TPU hard-decision parity counters. NEVER skipped outright
+    (VERDICT r3 #2): the caller shrinks n_batches when the budget is
+    tight, and the per-method loop below records whatever it measured
+    with an honest frame count."""
+    return _bench_parity_impl(code, iterations, batch, n_batches, remaining)
+
+
+def _bench_parity_impl(code, iterations, batch, n_batches, remaining):
     """On-TPU hard-decision parity counters (round-2 VERDICT item 2).
 
     Decodes n_batches * batch fresh AWGN frames (Eb/N0 4 dB) with the
@@ -225,7 +241,10 @@ def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
         ("sumproduct", pallas_decode_sumproduct, decode_sumproduct),
         ("minsum", pallas_decode_minsum, decode_minsum),
     ):
-        if remaining is not None and remaining() < 60.0:
+        # sum-product is the north-star method: it always runs at least one
+        # batch, over budget if need be; only minsum yields to the budget
+        if (name != "sumproduct" and remaining is not None
+                and remaining() < 60.0):
             out[f"mismatch_precise_{name}"] = "skipped: budget"
             continue
         pf = jax.jit(lambda r, f=pfn: f(r, code, iterations=iterations,
@@ -268,18 +287,20 @@ def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
 
 
 def main() -> None:
+    import sys
+
     from gr_ldpc_ece535a_tpu.codes import get_code
     from gr_ldpc_ece535a_tpu.ops import decode_minsum, decode_sumproduct
     from gr_ldpc_ece535a_tpu.ops.pallas_bp import (
         pallas_decode_minsum, pallas_decode_sumproduct)
 
-    # Wall-clock budget: the headline (pallas fast) paths always run; the
-    # optional paths (precise, XLA reference, streaming receiver) each run
-    # only while time remains, so the JSON line is always produced even when
-    # every jit goes through a cold remote-compile daemon (~20-40 s each).
-    # 600 s: the round-2 420 s budget predates the parity-counter section,
-    # whose early-exit pallas programs are the slowest compiles in the repo
-    # (~1-2 min each, cold); warm daemon-cache runs finish far under budget
+    # Wall-clock budget. The driver's round-3 capture proved it runs this
+    # script COLD (a checkout whose .jax_cache is empty), so the section
+    # order below is ranked by evidence value — pallas timings, then the
+    # parity counters (never skipped, only shrunk), then receiver/XLA —
+    # and a cumulative partial JSON line lands on stderr after EVERY
+    # section so a timeout or crash still records what ran (VERDICT r3
+    # #2). stdout carries exactly one final line as before.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     t_start = time.perf_counter()
 
@@ -290,32 +311,53 @@ def main() -> None:
     iterations = 20
     batch = 1 << 17  # 131072 frames resident
     platform = jax.devices()[0].platform
+
+    paths: dict = {}
+    errors: dict = {}
+    receiver: dict = {}
+    parity: dict = {}
+
+    def state() -> dict:
+        bits = {k: batch * code.K / v for k, v in paths.items()}
+        best_name = max(bits, key=bits.get) if bits else "none"
+        sp_bits = {k: v for k, v in bits.items() if "sumproduct" in k}
+        return {
+            "metric": "decoded_info_bits_per_s_per_chip_20bp_iters",
+            "value": bits.get(best_name, 0.0),
+            "unit": "bits/s",
+            "vs_baseline": bits.get(best_name, 0.0) / BASELINE,
+            "backend": platform,
+            "best_path": best_name,
+            "batch": batch,
+            "best_sumproduct_bits_per_s": max(sp_bits.values(), default=0.0),
+            "all_paths_bits_per_s": bits,
+            "elapsed_s": round(time.perf_counter() - t_start, 1),
+            **receiver,
+            **parity,
+            **({"errors": errors} if errors else {}),
+        }
+
+    def checkpoint() -> None:
+        print(json.dumps(state()), file=sys.stderr, flush=True)
+
     rx = _make_inputs(code, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(rx)
 
-    paths = {}
-    errors = {}
     # Pallas VMEM-resident kernels (the production path on TPU):
     # "fast" = bf16 aggregation (max throughput), "precise" = hi/lo split
     # (matched jnp-f32 hard decisions on every tested frame) — see
-    # gr_ldpc_ece535a_tpu/ops/pallas_bp.py module docstring.
-    # Headline paths first (always), optional paths gated on the budget
-    # (each needs ~60-90 s of compile headroom when caches are cold).
+    # gr_ldpc_ece535a_tpu/ops/pallas_bp.py module docstring. One compiled
+    # program per path (traced chain length) keeps the cold-compile count
+    # at 4 for all four pallas timings.
     for gate, name, fn in (
         (None, "pallas_minsum_fast", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="fast")),
         (None, "pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="fast")),
-        (90.0, "pallas_minsum_precise", lambda r: pallas_decode_minsum(
+        (None, "pallas_minsum_precise", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="precise")),
-        (90.0, "pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
+        (None, "pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="precise")),
-        # XLA reference timings are the least perishable numbers (recorded
-        # in BENCH_r01/r02); they yield budget to the parity counters below
-        (270.0, "xla_minsum", lambda r: decode_minsum(
-            r, code, iterations=iterations, early_exit=False)),
-        (270.0, "xla_sumproduct", lambda r: decode_sumproduct(
-            r, code, iterations=iterations, early_exit=False)),
     ):
         if gate is not None and remaining() < gate:
             errors[name] = "skipped: bench budget exhausted"
@@ -324,57 +366,58 @@ def main() -> None:
             paths[name] = _retry_transient(time_decode, fn, rx)
         except Exception as e:  # noqa: BLE001 - fall back off-TPU
             errors[name] = f"{type(e).__name__}: {e}"[:200]
+        checkpoint()
 
-    # exactness evidence: on-TPU parity counters over >=1e6 frames under
-    # the reference's early-exit semantics (recorded per round so
-    # BENCH_r*.json carries the claim, not just prose)
-    parity = {}
+    # exactness evidence: on-TPU parity counters over up to 1e6 frames
+    # under the reference's early-exit semantics. Runs UNCONDITIONALLY on
+    # TPU — the batch count shrinks with the budget instead of skipping
+    # (sum-product always measures at least one 131072-frame batch).
     if platform != "tpu":
         errors["parity"] = "skipped: not on TPU"
-    elif remaining() < 120.0:
-        errors["parity"] = "skipped: bench budget exhausted"
     else:
+        rem = remaining()
+        n_batches = 8 if rem > 300 else (4 if rem > 180 else 2)
         try:
             parity = _retry_transient(_bench_parity, code,
                                       iterations=iterations,
+                                      n_batches=n_batches,
                                       remaining=remaining)
         except Exception as e:  # noqa: BLE001
             errors["parity"] = f"{type(e).__name__}: {e}"[:200]
+    checkpoint()
 
-    # secondary, system-level: the mesh streaming receiver end-to-end
-    # (acquisition + sharded decode + host repack), BASELINE configs[5]'s
-    # single-chip slice. Includes host IO and result fetch, so it is a
-    # pipeline number, not a kernel number.
-    receiver = {}
-    if remaining() < 60.0:
+    # system-level: the mesh streaming receiver end-to-end (acquisition +
+    # sharded decode + host repack), BASELINE configs[5]'s single-chip
+    # slice. Includes host IO and result fetch, so it is a pipeline
+    # number, not a kernel number; its wire-floor breakdown
+    # (decode_s/fetch_s/wire_mb_s/wire_frac) is part of the record.
+    if remaining() < 45.0:
         errors["receiver"] = "skipped: bench budget exhausted"
     else:
         try:
             receiver = _bench_receiver(code)
         except Exception as e:  # noqa: BLE001
             errors["receiver"] = f"{type(e).__name__}: {e}"[:200]
+    checkpoint()
 
-    bits = {k: batch * code.K / v for k, v in paths.items()}
-    # headline: fastest BP decode path (min-sum is the reference's default
-    # method 0); sum-product reported alongside. If every path failed
-    # (e.g. off-TPU with pallas unavailable), still emit the JSON line.
-    best_name = max(bits, key=bits.get) if bits else "none"
-    value = bits.get(best_name, 0.0)
-    sp_bits = {k: v for k, v in bits.items() if "sumproduct" in k}
-    print(json.dumps({
-        "metric": "decoded_info_bits_per_s_per_chip_20bp_iters",
-        "value": value,
-        "unit": "bits/s",
-        "vs_baseline": value / BASELINE,
-        "backend": platform,
-        "best_path": best_name,
-        "batch": batch,
-        "best_sumproduct_bits_per_s": max(sp_bits.values(), default=0.0),
-        "all_paths_bits_per_s": bits,
-        **receiver,
-        **parity,
-        **({"errors": errors} if errors else {}),
-    }))
+    # XLA reference timings last: the least perishable numbers, refreshed
+    # when budget allows so the pallas speedup stays honestly computable
+    for name, fn in (
+        ("xla_minsum", lambda r: decode_minsum(
+            r, code, iterations=iterations, early_exit=False)),
+        ("xla_sumproduct", lambda r: decode_sumproduct(
+            r, code, iterations=iterations, early_exit=False)),
+    ):
+        if remaining() < 45.0:
+            errors[name] = "skipped: bench budget exhausted"
+            continue
+        try:
+            paths[name] = _retry_transient(time_decode, fn, rx)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+        checkpoint()
+
+    print(json.dumps(state()))
 
 
 if __name__ == "__main__":

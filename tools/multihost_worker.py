@@ -23,6 +23,21 @@ and syndrome weights. The halo of the process-boundary shard crosses a REAL
 process boundary here (the round-2 VERDICT's untested collective); digests
 must be bit-identical to the single-process run, and the 1-process worker
 additionally asserts its sharded result equals the unsharded oracle.
+
+mode "bench": weak-scaling wall-clock — times the jitted sweep step (decode
++ psum-aggregated stats) over the global mesh at a FIXED per-device frame
+count and prints steps/s and frames/s from process 0.
+
+Launcher: ``python tools/multihost_worker.py --bench [frames_per_device]``
+spawns the 1-process x 2-device and 2-process x 2-device-each
+configurations back to back and prints the weak-scaling efficiency
+t(1 proc) / t(2 proc) — the measurement BASELINE.md's ">=90% scaling to 2
+hosts" target calls for. On this CPU-gloo fabric the number is a
+methodology check, not a hardware claim: CPU mesh collectives share one
+machine's memory bus, so the printed efficiency under- or over-states what
+TPU ICI/DCN would deliver. On a real 2-host TPU slice the identical
+command (minus the CPU forcing) produces the claimable number — see
+docs/guide.md "Scaling methodology".
 """
 
 import json
@@ -109,7 +124,76 @@ def _run_stream(frames_per_device: int) -> dict:
     return out
 
 
+def _run_bench(frames_per_device: int, reps: int = 20) -> dict:
+    import time
+
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.parallel.mesh import make_mesh
+    from gr_ldpc_ece535a_tpu.parallel.sweep import make_sweep_step
+
+    code = get_code("block_32_64")
+    mesh = make_mesh(("batch",))
+    step = make_sweep_step(code, mesh, method=0, iterations=5,
+                           frames_per_device=frames_per_device)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):          # compile + warm (stats fetch = sync point)
+        step(key, 4.0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        step(key, 4.0)
+    dt = (time.perf_counter() - t0) / reps
+    g = jax.device_count()
+    return {
+        "mode": "bench",
+        "frames_per_device": frames_per_device,
+        "step_wall_s": dt,
+        "steps_per_s": 1.0 / dt,
+        "frames_per_s_global": frames_per_device * g / dt,
+    }
+
+
+def _bench_launcher(frames_per_device: int) -> None:
+    """Weak-scaling efficiency, 1 process -> 2 processes (same per-device
+    work). Spawns the workers itself; prints one JSON line."""
+    import os
+    import socket
+    import subprocess
+
+    def free_port() -> int:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    results = {}
+    for nproc, dev_per in ((1, 2), (2, 2)):
+        port = free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, str(pid), str(nproc), str(port),
+                 str(dev_per), str(frames_per_device), "bench"],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=dict(os.environ))
+            for pid in range(nproc)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        if any(p.returncode for p in procs):
+            raise RuntimeError(f"worker failed for nproc={nproc}")
+        results[nproc] = json.loads(outs[0].strip().splitlines()[-1])
+    t1, t2 = results[1]["step_wall_s"], results[2]["step_wall_s"]
+    print(json.dumps({
+        "metric": "weak_scaling_efficiency_1to2proc",
+        "value": t1 / t2,
+        "fabric": "cpu-gloo (methodology check; TPU ICI/DCN numbers "
+                  "require a real 2-host slice)",
+        "one_proc": results[1],
+        "two_proc": results[2],
+    }))
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--bench"]:
+        _bench_launcher(int(sys.argv[2]) if len(sys.argv) > 2 else 2048)
+        return
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     frames = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     mode = sys.argv[6] if len(sys.argv) > 6 else "sweep"
@@ -118,7 +202,12 @@ def main() -> None:
         num_processes=nproc,
         process_id=pid,
     )
-    out = _run_sweep(frames) if mode == "sweep" else _run_stream(frames)
+    if mode == "sweep":
+        out = _run_sweep(frames)
+    elif mode == "bench":
+        out = _run_bench(frames)
+    else:
+        out = _run_stream(frames)
     out["n_global_devices"] = jax.device_count()
     out["n_local_devices"] = jax.local_device_count()
     out["process_id"] = pid
