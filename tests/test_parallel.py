@@ -282,3 +282,32 @@ def test_shard_stream_decode_packed_rejects_fractional_bytes():
     with pytest.raises(ValueError):
         shard_stream_decode(jnp.zeros(8 * c.N * 8), c, mesh,
                             return_packed=True)
+
+
+def test_receive_chunked_pipeline_matches_two_phase(code):
+    """Streams >= 4096 padded frames take the chunked fused pipeline
+    (acquisition feeding C chunk programs device-side, async host
+    copies); it must produce the identical lock, payload, and accept
+    decisions as the host two-phase path."""
+    import jax
+    from jax.sharding import Mesh
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    rng = np.random.default_rng(5)
+    msg = bytes(rng.integers(32, 127, 4096 * 4, dtype=np.uint8))
+    data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+    tx = np.asarray(encode_to_symbols(jnp.asarray(data), code)).reshape(-1)
+    stream = np.concatenate(
+        [rng.normal(0, 0.1, 70).astype(np.float32), -tx])
+    stream = (stream + rng.normal(0, 0.3, stream.shape)).astype(np.float32)
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
+    rx = StreamReceiver(code=code, method=0, iterations=5,
+                        threshold=0, mesh=mesh1)
+    ref = rx.receive(stream)                          # two-phase (host)
+    ch = rx.receive(jnp.asarray(stream), fetch_weights=False, profile=True)
+    assert ch.timings.get("pipeline_chunks") == 8
+    assert ch.acquisition == ref.acquisition
+    assert ch.n_frames == ref.n_frames
+    np.testing.assert_array_equal(ch.accepted, ref.accepted)
+    assert ch.data == ref.data
+    assert "dispatch_s" in ch.timings and "fetch_s" in ch.timings
