@@ -28,12 +28,14 @@ Three kernel modes, trading hard-decision fidelity against throughput
                    frames at the decoding limit (on-TPU parity counters +
                    decomposition recorded per round in BENCH_r*.json; see
                    docs/kernels.md for the error-bound argument and the
-                   measured breakdown). ~3.4-4.1 ms (1.0-1.2 Gbit/s).
+                   measured breakdown). ~2.7-2.9 ms (1.45-1.55 Gbit/s
+                   under the round-4 full loop unroll; 1.0-1.2 before).
   mode="fast"    — same algorithm, single-pass bf16 MXU aggregation
                    (messages rounded to bf16 at the segment-sum only).
                    >=99.2% frame agreement at 20 iterations; disagreements
                    concentrate on frames that fail to converge either way.
-                   ~2.1-2.5 ms (1.7-2.0 Gbit/s) — the production path.
+                   ~1.7-2.5 ms (min-sum 2.5, SPA 1.7 Gbit/s under the
+                   round-4 unroll) — the production path.
 
 Two structural optimizations keep the per-iteration work minimal:
 
@@ -105,6 +107,18 @@ __all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct",
 _HIGHEST = jax.lax.Precision.HIGHEST
 _BIG = np.float32(1e30)
 _PHI_CLAMP = np.float32(1e4)
+
+
+def _full_unroll(n_steps: int) -> int:
+    """Unroll factor for the fixed-iteration BP loops: Mosaic's fori_loop
+    supports only unroll=1 or full unroll (= trip count), and the fully
+    unrolled straight-line region lets the scheduler software-pipeline the
+    check step's VPU work under the neighboring iteration's Gram MXU
+    matmul — measured +15-38% on the precise kernels at 20 iterations
+    (tools/proto_r4.py: SPA 1.05 -> 1.45 Gbit/s, min-sum 1.35 -> 1.59 at
+    b2048). Capped at 32 steps to bound compile time for unusually high
+    iteration counts."""
+    return n_steps if 1 <= n_steps <= 32 else 1
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +395,8 @@ def _sumproduct_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         # carry holds only the messages
         def body(_i, Mmsg):
             return base + mm(G2, split(check_step(Mmsg)))
-        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0)
+        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0,
+                                  unroll=_full_unroll(iterations - 1))
         Em = (check_step(Mlast) if iterations > 0
               else jnp.zeros_like(Mmsg0))
         L = mm(bcm2, split(Em)) + degr
@@ -459,7 +474,8 @@ def _minsum_fast_kernel(iterations: int, M: int, Wr: int, N: int,
         # last iteration's Lq update is dead — see the sum-product kernel
         def body(_i, Lq):
             return base + mm(G2, split(check_step(Lq)))
-        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0)
+        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0,
+                                   unroll=_full_unroll(iterations - 1))
         Lr = (check_step(Lqlast) if iterations > 0
               else jnp.zeros_like(Lq0))
         LQ = Lci + mm(bcm2, split(Lr))
@@ -583,7 +599,8 @@ def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
         def body(_i, Mmsg):
             Em = check_step(Mmsg)
             return base + mm(bcmT, mm(bcm, Em)) - Em
-        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0)
+        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0,
+                                  unroll=_full_unroll(iterations - 1))
         Em = (check_step(Mlast) if iterations > 0
               else jnp.zeros_like(Mmsg0))
         L = mm(bcm, Em) + degr
@@ -653,7 +670,8 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
         def body(_i, Lq):
             Lr = check_step(Lq)
             return base + mm(bcmT, mm(bcm, Lr)) - Lr
-        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0)
+        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0,
+                                   unroll=_full_unroll(iterations - 1))
         Lr = (check_step(Lqlast) if iterations > 0
               else jnp.zeros_like(Lq0))
         LQ = Lci + mm(bcm, Lr)
@@ -762,13 +780,14 @@ def _launch(kernel, rx, N, consts, block_b, interpret, vmem_limit=None):
 
 
 _MODE_BLOCKS = {"exact": 512, "precise": 2048, "fast": 4096}
-# Larger tiles measured faster for the fixed-iteration precise kernels at
-# the reference code size (b3072: SPA 1.03 Gbit/s vs 0.99 at b2048, min-sum
-# 1.22 vs 1.18; b3584/b4096 no better and b4096 compiles unreliably), so
-# codes at or beyond the tuning point start the precise law from 3072.
-# Small codes keep the proven round-2 base (the recorded sim-code sweeps
-# ran the 1/E law from 2048).
-_MODE_BLOCKS_PRECISE_LARGE = 3072
+# Round-4 retune under FULL loop unroll (tools/proto_r4.py, 131072 frames
+# x 20 iters): precise kernels now prefer b2048 for both methods (SPA
+# 1.45 Gbit/s at b2048 vs 1.25 at b3072; min-sum 1.59 vs 1.32 — the
+# unrolled schedule's larger live-range budget favors the smaller tile),
+# retiring round 3's b3072 precise-large special case. Fast kernels
+# split by method: min-sum fast measured 2.45 Gbit/s at b3072 vs 2.21 at
+# b4096, while SPA fast keeps b4096 (1.70 vs 1.62).
+_FAST_BLOCK_BY_METHOD = {"minsum": 3072, "sumproduct": 4096}
 _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
                   # were tuned on
 # MAX_EDGE_SLOTS / edge_slots / pallas_supported live in ops.layout (pure
@@ -776,7 +795,8 @@ _REF_SLOTS = 192  # edge slots of the reference 32x64 code the blocks above
 # here for back-compat.
 
 
-def _auto_block(mode: str, E: int, early_exit: bool = False) -> int:
+def _auto_block(mode: str, E: int, early_exit: bool = False,
+                method_kind: str = "minsum") -> int:
     # The VMEM footprint has an E^2 term (the Gram) on top of the E*block_b
     # message buffers, so a 1/E block law overshoots for larger codes:
     # block ~ E^-1.5 fits the measured envelope there (E=192 at 4096, 5120+
@@ -784,8 +804,8 @@ def _auto_block(mode: str, E: int, early_exit: bool = False) -> int:
     # point the 1/E law is the proven one (the recorded sim-code sweeps ran
     # it); E^-1.5 would overshoot VMEM for tiny codes (E=48 -> 32k lanes).
     ratio = _REF_SLOTS / max(E, 1)
-    base = (_MODE_BLOCKS_PRECISE_LARGE
-            if mode == "precise" and ratio <= 1.0 else _MODE_BLOCKS[mode])
+    base = (_FAST_BLOCK_BY_METHOD.get(method_kind, 4096)
+            if mode == "fast" and ratio <= 1.0 else _MODE_BLOCKS[mode])
     scaled = int(base * min(ratio, ratio**1.5))
     if early_exit:
         # the while-loop kernels carry extra live state (messages + frozen
@@ -807,7 +827,7 @@ def _auto_block_split(E: int, N: int, early_exit: bool) -> int:
 
 def _dispatch(exact_kernel, fast_kernel, split_kernel, rx, code, iterations,
               block_b, interpret, mode, early_exit, impl="auto",
-              extra_args=()):
+              extra_args=(), method_kind="minsum"):
     if mode not in _MODE_BLOCKS:
         raise ValueError(f"unknown mode {mode!r}; use exact|precise|fast")
     if impl not in ("auto", "gram", "split"):
@@ -833,7 +853,7 @@ def _dispatch(exact_kernel, fast_kernel, split_kernel, rx, code, iterations,
                 f"impl='auto' does so automatically outside interpret "
                 f"mode). Otherwise use the XLA decoders "
                 f"(make_decoder(backend='xla' or 'auto')).")
-        bb = _auto_block(mode, E, early_exit)
+        bb = _auto_block(mode, E, early_exit, method_kind)
     if use_split:
         return _run_split(split_kernel, rx, code, iterations, bb, interpret,
                           precise=(mode == "precise"), early_exit=early_exit,
@@ -871,7 +891,8 @@ def pallas_decode_minsum(
                      _minsum_split_kernel,
                      rx, code, iterations, block_b, interpret, mode,
                      early_exit, impl=impl,
-                     extra_args=(float(norm_offset), float(norm_scale)))
+                     extra_args=(float(norm_offset), float(norm_scale)),
+                     method_kind="minsum")
 
 
 def pallas_decode_sumproduct(
@@ -885,4 +906,4 @@ def pallas_decode_sumproduct(
     return _dispatch(_sumproduct_exact_kernel, _sumproduct_fast_kernel,
                      _sumproduct_split_kernel,
                      rx, code, iterations, block_b, interpret, mode,
-                     early_exit, impl=impl)
+                     early_exit, impl=impl, method_kind="sumproduct")

@@ -78,11 +78,13 @@ def main() -> None:
         return best
 
     # the clock-tracking scan's sequential step latency bounds throughput;
-    # measure both tracking block sizes (the 256 config is 4x fewer steps
-    # and holds lock to ~60 ppm drift — pinned by tests)
+    # since round 4 the tracker interpolates the sampling phase per symbol
+    # with a self-calibrating discriminant, so blocks up to 4096 symbols
+    # hold lock at +-50 ppm (pinned by tests) — the sweep covers the r3
+    # sizes for continuity plus the large-block regime
     rates = {}
     chains = {}
-    for tbs in (64, 256):
+    for tbs in (256, 1024, 2048, 4096):
         chain = jax.jit(lambda x, t=tbs: dsp.rx_chain_pairs(
             x, sps=sps, timing_block_syms=t))
         chains[tbs] = chain
@@ -126,7 +128,7 @@ def main() -> None:
     })
     print(line)
     if "--save" in sys.argv[1:]:
-        out_path = Path(__file__).resolve().parents[1] / "results" / "chain_r3.json"
+        out_path = Path(__file__).resolve().parents[1] / "results" / "chain_r4.json"
         out_path.write_text(line + "\n")
         print(f"saved -> {out_path}", file=sys.stderr)
 

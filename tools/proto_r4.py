@@ -35,14 +35,14 @@ from gr_ldpc_ece535a_tpu.ops.pallas_bp import (  # noqa: E402
     pallas_decode_minsum, pallas_decode_sumproduct)
 
 
-def kernel(kind, unroll, iterations, M, Wr, N,
+def kernel(kind, precise, unroll, iterations, M, Wr, N,
            rx_ref, bcm2_ref, gram2_ref, padbig_ref, out_ref):
-    """Precise-mode (stacked hi/lo) kernel body with a tunable unroll —
-    same arithmetic as ops/pallas_bp.py's fast kernels at precise=True."""
+    """Kernel body with a tunable unroll — same arithmetic as
+    ops/pallas_bp.py's fast kernels at the given precision mode."""
     Bt = rx_ref.shape[1]
     E = Wr * M
     big = jnp.float32(np.finfo(np.float32).max)
-    split, mm = _make_split_mm(True)
+    split, mm = _make_split_mm(precise)
     r_in = rx_ref[:]
     bcm2 = bcm2_ref[:]                       # (N, 2E)
     bcm = bcm2[:, :E]
@@ -102,16 +102,20 @@ def kernel(kind, unroll, iterations, M, Wr, N,
         out_ref[:] = (L <= 0).astype(jnp.int8)
 
 
-def run(kind, unroll, rx, code, iterations=20, block_b=3072):
+def run(kind, unroll, rx, code, iterations=20, block_b=3072, precise=True):
     bcm_np, gram_np, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
-    bcm2 = np.concatenate([bcm_np, bcm_np], axis=1)
-    gram2 = np.concatenate([gram_np, gram_np], axis=1)
+    if precise:
+        bcm2 = np.concatenate([bcm_np, bcm_np], axis=1)
+        gram2 = np.concatenate([gram_np, gram_np], axis=1)
+    else:
+        bcm2, gram2 = bcm_np, gram_np
     B = rx.shape[0]
     Bp = max(block_b, ((B + block_b - 1) // block_b) * block_b)
     rx_t = jnp.zeros((N, Bp), jnp.float32).at[:, :B].set(
         jnp.asarray(rx, jnp.float32).T)
-    k = functools.partial(kernel, kind, unroll, iterations, code.M, Wr, N)
+    k = functools.partial(kernel, kind, precise, unroll, iterations,
+                          code.M, Wr, N)
     consts = [(jnp.asarray(bcm2), bcm2.shape),
               (jnp.asarray(gram2), gram2.shape),
               (jnp.asarray(padbig_np), (E, 1))]
@@ -130,34 +134,37 @@ def run(kind, unroll, rx, code, iterations=20, block_b=3072):
 
 
 def main():
-    kinds = sys.argv[1:] or ["sumprod", "minsum"]
+    specs = sys.argv[1:] or ["sumprod", "minsum", "sumprod_fast",
+                             "minsum_fast"]
     code = get_code("block_32_64")
     B = 1 << 17
     rx = _make_inputs(code, B, jax.random.PRNGKey(0))
     jax.block_until_ready(rx)
     K = code.K
-    refs = {
-        "minsum": np.asarray(pallas_decode_minsum(
-            rx, code, iterations=20, mode="precise")),
-        "sumprod": np.asarray(pallas_decode_sumproduct(
-            rx, code, iterations=20, mode="precise")),
-    }
-    for kind in kinds:
-        ref = refs[kind]
-        for block_b in (2048, 3072, 3584):
-            for unroll in (1, 2, 4):
+    ref_fns = {"minsum": pallas_decode_minsum,
+               "sumprod": pallas_decode_sumproduct}
+    for spec in specs:
+        kind, _, fastq = spec.partition("_")
+        precise = fastq != "fast"
+        mode = "precise" if precise else "fast"
+        ref = np.asarray(ref_fns[kind](rx, code, iterations=20, mode=mode))
+        # Mosaic's fori_loop supports only unroll=1 or full unroll
+        # (= trip count, 19 at 20 iterations)
+        blocks = (2048, 3072) if precise else (3072, 4096)
+        for block_b in blocks:
+            for unroll in (1, 19):
                 try:
                     out = np.asarray(run(kind, unroll, rx, code,
-                                         block_b=block_b))
+                                         block_b=block_b, precise=precise))
                     agree = float((out == ref).all(axis=1).mean())
                     t = time_decode(
-                        lambda r, k=kind, u=unroll, b=block_b:
-                        run(k, u, r, code, block_b=b), rx)
-                    print(f"{kind} precise b{block_b} unroll={unroll}: "
+                        lambda r, k=kind, u=unroll, b=block_b, p=precise:
+                        run(k, u, r, code, block_b=b, precise=p), rx)
+                    print(f"{kind} {mode} b{block_b} unroll={unroll}: "
                           f"{t*1e3:.3f} ms ({B*K/t/1e9:.3f} Gbit/s) "
                           f"agree={agree:.5f}", flush=True)
                 except Exception as e:  # noqa: BLE001
-                    print(f"{kind} precise b{block_b} unroll={unroll}: FAIL "
+                    print(f"{kind} {mode} b{block_b} unroll={unroll}: FAIL "
                           f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
