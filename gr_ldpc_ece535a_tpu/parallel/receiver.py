@@ -537,11 +537,11 @@ class StreamReceiver:
         timings["dispatch_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         ok_np, off_np, pol_np, w0_np = jax.device_get((ok, off, pol, w0))
-        packed_np = np.concatenate([np.asarray(p) for p, _ in outs])
+        packed_list = [np.asarray(p) for p, _ in outs]   # per-chunk views
         bm_np = np.concatenate([np.asarray(b) for _, b in outs])
         t_fetch = time.perf_counter() - t0
         if profile:
-            nbytes = packed_np.nbytes + bm_np.nbytes
+            nbytes = sum(p.nbytes for p in packed_list) + bm_np.nbytes
             timings.update(fetch_s=t_fetch, fetch_bytes=int(nbytes),
                            wire_mb_s=nbytes / max(t_fetch, 1e-9) / 1e6)
         else:
@@ -558,13 +558,23 @@ class StreamReceiver:
         # Fc is a multiple of 8 here (F_pad >= 4096 with a >=256 bucket
         # granule), so per-chunk bitmask bits concatenate without padding
         # holes
-        accepted = np.unpackbits(bm_np)[:n_valid].astype(bool)
-        if accepted.all():
-            # all-accepted fast path: one memcpy instead of a boolean
-            # row-compaction — keeps host time out of the wire floor
-            payload = packed_np[:n_valid].tobytes()
-        else:
-            payload = packed_np[:n_valid][accepted].reshape(-1).tobytes()
+        accepted = np.unpackbits(bm_np, count=n_valid).view(bool)
+        # per-chunk assembly: fully-accepted chunks are straight memcpys;
+        # only chunks containing rejected frames pay a boolean
+        # row-compaction. No global concatenate — host time stays out of
+        # the wire floor (the wall should BE the wire)
+        pieces, pos = [], 0
+        for arr in packed_list:
+            take = min(n_valid - pos, len(arr))
+            if take <= 0:
+                break
+            acc_c = accepted[pos:pos + take]
+            if acc_c.all():
+                pieces.append(arr[:take].tobytes())
+            else:
+                pieces.append(arr[:take][acc_c].reshape(-1).tobytes())
+            pos += take
+        payload = b"".join(pieces)
         acq = Acquisition(offset=offset, inverted=bool(pol_np),
                           weight=int(w0_np))
         timings["host_s"] = time.perf_counter() - t0
