@@ -429,8 +429,13 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         permutation. Per-symbol taps for all three shifts come from one
         one-hot MXU matmul against the widened bank (8 us). No gathers
         anywhere."""
-        posq = jnp.round((frac + ks * (sps + rate)) * nfilts
-                         ).astype(jnp.int32)                # (B,)
+        # the k*sps*nfilts part of the sampling position is kept as EXACT
+        # integers; only the small fractional part (|frac + k*rate| <=
+        # 1 + B*rate_clip) is rounded — at B >= 8192 the naive product
+        # (frac + k*(sps+rate))*nfilts reaches ~5e5 where the f32 quantum
+        # equals a whole phase step and the tracker loses lock
+        posq = (jnp.arange(B, dtype=jnp.int32) * (sps * nfilts)
+                + jnp.round((frac + ks * rate) * nfilts).astype(jnp.int32))
         r = posq - (jnp.arange(B, dtype=jnp.int32) * sps - D0) * nfilts
         r = jnp.clip(r, 1, R - 2)            # keep the -+1 rows in range
         oh = (r[:, None] == iota_r).astype(jnp.float32)     # (B, R)
@@ -844,6 +849,10 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
     (_pfb_core.step), so block size no longer bounds the tolerable
     drift: 64 through 4096-symbol blocks all lock under +-50 ppm clock
     offset plus 0.01 carrier offset (pinned by tests at 256 and 2048).
+    4096 is the supported ceiling: at 8192 the pre-convergence drift
+    across one block exceeds the timing discriminant's half-symbol
+    capture range (the estimate aliases), and measured chain throughput
+    has stopped scaling with block size well before that anyway.
     """
     xp = block_agc_pairs(xp, block=agc_block)
     f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
