@@ -165,7 +165,11 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
     # second, PROFILED pass: a scalar-sync fetch splits decode from wire
     # time (costs one extra round trip, so it is not the headline number)
     # and records the payload wire rate — the evidence for where the
-    # remaining gap to the bulk-decode rate is (round-2 VERDICT item 3)
+    # remaining gap to the bulk-decode rate is (round-2 VERDICT item 3).
+    # Run it twice and keep the warm pass: the profile-only sync program
+    # compiles during the first one, which would otherwise be booked as
+    # decode time.
+    recv.receive(stream, fetch_weights=False, profile=True)
     prof = recv.receive(stream, fetch_weights=False, profile=True)
     tt = prof.timings
     wall = sum(tt.get(k, 0.0) for k in
@@ -176,21 +180,25 @@ def _bench_receiver(code, n_frames: int = 1 << 19, offset: int = 17):
         "stream_receiver_frames": out.n_frames,
         "stream_receiver_locked": bool(ok and out.acquisition.inverted),
         "stream_receiver_breakdown": tt,
+        # share of the SERIALIZED profile wall that is wire (the profile
+        # pass syncs decode before fetching, so this is an honest split
+        # that cannot book decode time as wire)
         "stream_receiver_wire_frac": tt.get("fetch_s", 0.0) / max(wall, 1e-9),
+        # share of the HEADLINE (pipelined) wall explained by wire at the
+        # measured rate — the chunked path overlaps decode under the
+        # fetch, so this is the wire-floor fraction of the number above
+        "stream_receiver_pipelined_wire_frac": (
+            tt.get("fetch_s", 0.0) / max(dt, 1e-9)),
     }
 
 
 def _bench_parity(code, iterations: int = 20, batch: int = 1 << 17,
                   n_batches: int = 8, remaining=None):
-    """On-TPU hard-decision parity counters. NEVER skipped outright
-    (VERDICT r3 #2): the caller shrinks n_batches when the budget is
-    tight, and the per-method loop below records whatever it measured
-    with an honest frame count."""
-    return _bench_parity_impl(code, iterations, batch, n_batches, remaining)
-
-
-def _bench_parity_impl(code, iterations, batch, n_batches, remaining):
     """On-TPU hard-decision parity counters (round-2 VERDICT item 2).
+
+    NEVER skipped outright: the caller shrinks n_batches when the budget
+    is tight, and the per-method loop below records whatever it measured
+    with an honest frame count.
 
     Decodes n_batches * batch fresh AWGN frames (Eb/N0 4 dB) with the
     pallas precise and fast kernels and the XLA f32 reference path under
@@ -348,20 +356,17 @@ def main() -> None:
     # (matched jnp-f32 hard decisions on every tested frame) — see
     # gr_ldpc_ece535a_tpu/ops/pallas_bp.py module docstring. One compiled
     # program per path (traced chain length) keeps the cold-compile count
-    # at 4 for all four pallas timings.
-    for gate, name, fn in (
-        (None, "pallas_minsum_fast", lambda r: pallas_decode_minsum(
+    # at 4 for all four pallas timings; all four run unconditionally.
+    for name, fn in (
+        ("pallas_minsum_fast", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="fast")),
-        (None, "pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
+        ("pallas_sumproduct_fast", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="fast")),
-        (None, "pallas_minsum_precise", lambda r: pallas_decode_minsum(
+        ("pallas_minsum_precise", lambda r: pallas_decode_minsum(
             r, code, iterations=iterations, mode="precise")),
-        (None, "pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
+        ("pallas_sumproduct_precise", lambda r: pallas_decode_sumproduct(
             r, code, iterations=iterations, mode="precise")),
     ):
-        if gate is not None and remaining() < gate:
-            errors[name] = "skipped: bench budget exhausted"
-            continue
         try:
             paths[name] = _retry_transient(time_decode, fn, rx)
         except Exception as e:  # noqa: BLE001 - fall back off-TPU

@@ -122,6 +122,9 @@ class FlowGraph:
         self._outs: dict[int, list[_Edge]] = {}   # block idx -> outgoing edges
         self._ins: dict[int, _Edge] = {}          # block idx -> incoming edge
         self._edge_capacity = edge_capacity
+        # no-progress-while-blocked rounds (1 ms sleep each) before the
+        # livelock guard in run() raises; tests shrink it
+        self._stall_limit = 10000
 
     def _idx(self, b: Block) -> int:
         for i, x in enumerate(self._blocks):
@@ -152,15 +155,18 @@ class FlowGraph:
         for b in self._blocks:
             b.start()
         rounds = 0
+        stalled_rounds = 0
         try:
             while True:
                 progressed = False
+                any_blocked = False
                 for i, b in enumerate(self._blocks):
                     out = None
                     # backpressure: don't run a producer whose downstream
                     # buffer is full — the consumer drains it first (GR's
                     # circular-buffer throttling, SURVEY.md L0)
                     if any(e.full for e in self._outs.get(i, [])):
+                        any_blocked = True
                         continue
                     if b.in_dtype is None:  # source
                         if b.done:
@@ -190,7 +196,28 @@ class FlowGraph:
                         b.done for b in self._blocks if b.in_dtype is None)
                     if sources_done:
                         break
+                    # livelock guard: a full edge whose consumer never
+                    # consumes (e.g. edge_capacity smaller than the
+                    # consumer's minimum work unit, like a frame decoder
+                    # needing N items) would spin here forever. Rate
+                    # limiters legitimately stall for a while, so only
+                    # sustained no-progress-while-blocked (~10 s of
+                    # sleep rounds) is treated as a configuration error.
+                    stalled_rounds = stalled_rounds + 1 if any_blocked else 0
+                    if stalled_rounds > self._stall_limit:
+                        full_edges = [
+                            (self._blocks[i].name, e.size, e.capacity)
+                            for i, es in self._outs.items()
+                            for e in es if e.full]
+                        raise RuntimeError(
+                            "FlowGraph stalled: producers blocked on full "
+                            "edges but no block is making progress — "
+                            "edge_capacity is likely smaller than a "
+                            "downstream block's minimum work unit. Full "
+                            f"edges (producer, size, capacity): {full_edges}")
                     time.sleep(0.001)
+                else:
+                    stalled_rounds = 0
         finally:
             # every block gets its flush even if another's stop() raises;
             # the first failure is re-raised after all stops ran

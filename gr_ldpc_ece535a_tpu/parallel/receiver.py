@@ -88,6 +88,36 @@ def _accept_bitmask(code, threshold):
     return run
 
 
+def _body_backend(kernel_mode: str, method, on_tpu: bool) -> str:
+    """Decoder backend for the stream BODY decode: the fast bf16 pallas
+    kernels when requested and applicable (the per-frame syndrome accept
+    check downstream catches the <1% marginal frames), else auto
+    (precise pallas on TPU / XLA elsewhere). Acquisition decodes always
+    use "auto" — lock decisions prefer the matched-decision kernels."""
+    if not on_tpu:
+        return "xla"
+    if kernel_mode == "fast" and method in (0, 1, "minsum", "sumproduct"):
+        return "pallas_fast"
+    return "auto"
+
+
+def _select_lock(w, threshold, n_off):
+    """Device-side (ok, off, pol) winner from acquisition syndrome
+    weights w (2, n_off, L), in the reference's trial order: offsets
+    ascending, normal polarity before inverted at each offset
+    (/root/reference/lib/ldpc_decoder_cb_impl.cc:178-199's slide/negate
+    retry collapsed into an argmin over a rank score)."""
+    hit = jnp.all(w <= threshold, axis=2)                 # (2, n_off)
+    score = (2 * jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 1)
+             + jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 0))
+    score = jnp.where(hit, score, jnp.int32(2 ** 30))
+    best = jnp.min(score)
+    ok = best < 2 ** 30
+    off = jnp.where(ok, best // 2, 0)
+    pol = jnp.where(ok, best % 2, 0)
+    return ok, off, pol
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_receiver_program(code, method, iterations, threshold, n_off,
                             verify_frames, kernel_mode, T_padded,
@@ -109,15 +139,8 @@ def _fused_receiver_program(code, method, iterations, threshold, n_off,
     N, M, K = code.N, code.M, code.K
     L = 1 + verify_frames
     F = T_padded // N
-    if on_tpu:
-        backend = ("pallas_fast"
-                   if (kernel_mode == "fast" and method in (0, 1, "minsum",
-                                                            "sumproduct"))
-                   else "auto")
-    else:
-        backend = "xla"
     dec = make_decoder(code, method=method, iterations=iterations, jit=False,
-                       backend=backend)
+                       backend=_body_backend(kernel_mode, method, on_tpu))
     idx = (np.arange(n_off)[:, None] + np.arange(L * N)[None, :]).astype(
         np.int32)
     from ..ops import pack_bits
@@ -127,15 +150,7 @@ def _fused_receiver_program(code, method, iterations, threshold, n_off,
         win = jnp.take(stream, jnp.asarray(idx), axis=0)
         cand = jnp.concatenate([win, -win]).reshape(2 * n_off * L, N)
         w = syndrome_weight(dec(cand), code.H).reshape(2, n_off, L)
-        hit = jnp.all(w <= threshold, axis=2)             # (2, n_off)
-        # trial order offset-major, normal first: score = 2*offset + pol
-        score = (2 * jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 1)
-                 + jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 0))
-        score = jnp.where(hit, score, jnp.int32(2 ** 30))
-        best = jnp.min(score)
-        ok = best < 2 ** 30
-        off = jnp.where(ok, best // 2, 0)
-        pol = jnp.where(ok, best % 2, 0)
+        ok, off, pol = _select_lock(w, threshold, n_off)
         body = jnp.where(pol > 0, -stream, stream)
         # tail padding must cover the FULL searched offset range: the
         # dynamic_slice start clamps to [0, len(ext) - F*N], so padding
@@ -179,14 +194,7 @@ def _acquire_select_program(code, method, iterations, threshold, n_off,
         win = jnp.take(head, jnp.asarray(idx), axis=0)
         cand = jnp.concatenate([win, -win]).reshape(2 * n_off * L, N)
         w = syndrome_weight(dec(cand), code.H).reshape(2, n_off, L)
-        hit = jnp.all(w <= threshold, axis=2)
-        score = (2 * jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 1)
-                 + jax.lax.broadcasted_iota(jnp.int32, (2, n_off), 0))
-        score = jnp.where(hit, score, jnp.int32(2 ** 30))
-        best = jnp.min(score)
-        ok = best < 2 ** 30
-        off = jnp.where(ok, best // 2, 0)
-        pol = jnp.where(ok, best % 2, 0)
+        ok, off, pol = _select_lock(w, threshold, n_off)
         return ok, off, pol, w[pol, off, 0].astype(jnp.int32)
 
     return run, n_off - 1 + L * N
@@ -200,15 +208,8 @@ def _chunk_decode_program(code, method, iterations, threshold, kernel_mode,
     c*Fc*N with polarity applied post-slice. Compiled once per chunk
     geometry — every chunk index reuses the same program (c is traced)."""
     N, M = code.N, code.M
-    if on_tpu:
-        backend = ("pallas_fast"
-                   if (kernel_mode == "fast" and method in (0, 1, "minsum",
-                                                            "sumproduct"))
-                   else "auto")
-    else:
-        backend = "xla"
     dec = make_decoder(code, method=method, iterations=iterations, jit=False,
-                       backend=backend)
+                       backend=_body_backend(kernel_mode, method, on_tpu))
     from ..ops import pack_bits
 
     @jax.jit
@@ -222,6 +223,18 @@ def _chunk_decode_program(code, method, iterations, threshold, kernel_mode,
         return pack_bits(vhat[:, M:]), _accept_bitmask(code, threshold)(wf)
 
     return run
+
+
+# one jitted reducer for the chunked profile's device-sync point: jit
+# specializes per (arity, shape), so every bucket geometry compiles once
+# and the sync costs a single round trip (unjitted per-array sums each
+# pay the tunnel RTT — measured ~100 ms/op, which drowned the split)
+@jax.jit
+def _sync_sum(*bs):
+    acc = jnp.int32(0)
+    for b in bs:
+        acc = acc + jnp.sum(b.astype(jnp.int32))
+    return acc
 
 
 @dataclasses.dataclass(frozen=True)
@@ -514,7 +527,6 @@ class StreamReceiver:
 
         code, N = self.code, self.code.N
         verify = 4
-        L = 1 + verify
         C = 8
         Fc = F_pad // C
         T_padded = F_pad * N
@@ -530,12 +542,26 @@ class StreamReceiver:
         ext = jnp.pad(dev, (0, ext_len - T))
         ok, off, pol, w0 = acq_run(ext[:need])
         outs = [chunk_run(ext, off, pol, jnp.int32(c)) for c in range(C)]
-        for p, b in outs:
-            p.copy_to_host_async()
-            b.copy_to_host_async()
         timings: dict = {"fused": True, "pipeline_chunks": C}
         timings["dispatch_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
+        if profile:
+            # honest decode/wire split: block on ONE jitted scalar that
+            # depends on every chunk's output before any payload copy is
+            # issued, so fetch_s below is pure wire. The profiled pass
+            # therefore serializes decode and wire (the unprofiled pass
+            # overlaps them), costing one extra round trip — same
+            # methodology as the unfused path's scalar sync.
+            jax.device_get(_sync_sum(*[b for _, b in outs]))
+            timings["decode_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+        # overlap the device-to-host copies: unprofiled, each chunk's
+        # copy starts the moment its decode finishes (wire overlaps the
+        # remaining decode); profiled, all copies start post-sync and
+        # overlap each other, so fetch_s is bytes/wire-rate plus ~1 RTT
+        for p, b in outs:
+            p.copy_to_host_async()
+            b.copy_to_host_async()
         ok_np, off_np, pol_np, w0_np = jax.device_get((ok, off, pol, w0))
         packed_list = [np.asarray(p) for p, _ in outs]   # per-chunk views
         bm_np = np.concatenate([np.asarray(b) for _, b in outs])
@@ -598,12 +624,13 @@ class StreamReceiver:
         # program compiles once per bucket instead of once per distinct
         # stream length (round-3 advisor finding: exact-T keys mean a
         # multi-second recompile per length and unbounded cache growth).
-        # 4-significant-bit granularity: <= 6.25% wasted decode on the
-        # zero tail (rejected by syndrome + host-truncated to n_valid),
-        # <= 16 cached shapes per octave of stream length.
+        # 5-significant-bit granularity: worst-case zero-tail decode
+        # waste is g / 2^(b-1) = 6.25% (rejected by syndrome +
+        # host-truncated to n_valid), <= 32 cached shapes per octave of
+        # stream length.
         F_real = (T + N - 1) // N
-        if F_real > 16:
-            g = 1 << (F_real.bit_length() - 4)
+        if F_real > 32:
+            g = 1 << (F_real.bit_length() - 5)
             F_pad = ((F_real + g - 1) // g) * g
         else:
             F_pad = F_real

@@ -270,3 +270,28 @@ def test_flowgraph_edge_backpressure_bounds_memory(monkeypatch):
     assert sink.count == total
     # soft bound: capacity + one producer batch of overshoot
     assert peak["size"] <= cap + chunk, peak
+
+
+def test_flowgraph_stall_guard_raises_on_undersized_capacity():
+    """edge_capacity smaller than a consumer's minimum work unit must
+    raise a clear error instead of spinning forever (the backpressure
+    skip would otherwise livelock the demand loop)."""
+    from gr_ldpc_ece535a_tpu.blocks import NullSink, VectorSource
+    from gr_ldpc_ece535a_tpu.blocks.base import Block, FlowGraph
+
+    class Needs100(Block):
+        in_dtype = out_dtype = np.uint8
+        name = "needs100"
+
+        def work(self, data):
+            if len(data) < 100:
+                return 0, None
+            return 100, data[:100]
+
+    src = VectorSource(np.zeros(64, np.uint8), repeat=True,
+                       max_items=10000, chunk=16)
+    fg = FlowGraph(edge_capacity=32)          # < the 100-item work unit
+    fg._stall_limit = 50                      # keep the test fast
+    fg.connect(src, Needs100(), NullSink())
+    with pytest.raises(RuntimeError, match="stalled"):
+        fg.run()

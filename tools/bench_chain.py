@@ -14,7 +14,7 @@ cancels in the difference); the receive step is a single wall-clock pipeline
 measure through the fused single-dispatch receiver.
 
 Writes one JSON line; `python tools/bench_chain.py --save` records it to
-results/chain_r3.json.
+results/chain_r4.json.
 """
 
 from __future__ import annotations
@@ -80,8 +80,8 @@ def main() -> None:
     # the clock-tracking scan's sequential step latency bounds throughput;
     # since round 4 the tracker interpolates the sampling phase per symbol
     # with a self-calibrating discriminant, so blocks up to 4096 symbols
-    # hold lock at +-50 ppm (pinned by tests) — the sweep covers the r3
-    # sizes for continuity plus the large-block regime
+    # hold lock at +-50 ppm (pinned by tests) — the sweep keeps the r3
+    # winner (256) for continuity plus the large-block regime
     rates = {}
     chains = {}
     for tbs in (256, 1024, 2048, 4096):

@@ -171,13 +171,24 @@ def _bench_launcher(frames_per_device: int) -> None:
             subprocess.Popen(
                 [sys.executable, __file__, str(pid), str(nproc), str(port),
                  str(dev_per), str(frames_per_device), "bench"],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, env=dict(os.environ))
             for pid in range(nproc)
         ]
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+        outs, errs = [], []
+        try:
+            for p in procs:
+                o, e = p.communicate(timeout=600)
+                outs.append(o)
+                errs.append(e)
+        finally:
+            for p in procs:        # a timeout must not orphan siblings
+                if p.poll() is None:
+                    p.kill()
         if any(p.returncode for p in procs):
-            raise RuntimeError(f"worker failed for nproc={nproc}")
+            raise RuntimeError(
+                f"worker failed for nproc={nproc}; stderr tails: "
+                + " | ".join(e.strip()[-400:] for e in errs))
         results[nproc] = json.loads(outs[0].strip().splitlines()[-1])
     t1, t2 = results[1]["step_wall_s"], results[2]["step_wall_s"]
     print(json.dumps({
