@@ -310,4 +310,6 @@ def test_receive_chunked_pipeline_matches_two_phase(code):
     assert ch.n_frames == ref.n_frames
     np.testing.assert_array_equal(ch.accepted, ref.accepted)
     assert ch.data == ref.data
-    assert "dispatch_s" in ch.timings and "fetch_s" in ch.timings
+    for k in ("dispatch_s", "decode_s", "fetch_s", "host_s",
+              "wire_mb_s"):
+        assert k in ch.timings, k  # honest serialized profile split
