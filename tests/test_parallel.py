@@ -313,3 +313,21 @@ def test_receive_chunked_pipeline_matches_two_phase(code):
     for k in ("dispatch_s", "decode_s", "fetch_s", "host_s",
               "wire_mb_s"):
         assert k in ch.timings, k  # honest serialized profile split
+
+
+def test_receive_chunked_no_lock_on_garbage(code):
+    """A long garbage stream through the chunked pipeline must return
+    no-lock (empty payload) — the zero tail added by frame bucketing must
+    not be reachable by the offset search (all-zero false locks)."""
+    import jax
+    from jax.sharding import Mesh
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    rng = np.random.default_rng(2)
+    garbage = jnp.asarray(
+        (np.sign(rng.standard_normal(4500 * 64)) * 10).astype(np.float32))
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("stream",))
+    rx = StreamReceiver(code=code, method=0, iterations=5,
+                        threshold=0, mesh=mesh1)
+    res = rx.receive(garbage, fetch_weights=False)
+    assert res.acquisition is None and res.data == b""

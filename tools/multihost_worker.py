@@ -32,7 +32,9 @@ Launcher: ``python tools/multihost_worker.py --bench [frames_per_device]``
 spawns the 1-process x 2-device and 2-process x 2-device-each
 configurations back to back and prints the weak-scaling efficiency
 t(1 proc) / t(2 proc) — the measurement BASELINE.md's ">=90% scaling to 2
-hosts" target calls for. On this CPU-gloo fabric the number is a
+hosts" target calls for. ``--bench-stream`` does the same for the halo
+path (shard_stream_decode, whose (N-1)-symbol ppermute crosses the
+process boundary — BASELINE config 5's collective). On this CPU-gloo fabric the number is a
 methodology check, not a hardware claim: CPU mesh collectives share one
 machine's memory bus, so the printed efficiency under- or over-states what
 TPU ICI/DCN would deliver. On a real 2-host TPU slice the identical
@@ -152,9 +154,52 @@ def _run_bench(frames_per_device: int, reps: int = 20) -> dict:
     }
 
 
-def _bench_launcher(frames_per_device: int) -> None:
+def _run_bench_stream(frames_per_device: int, reps: int = 10) -> dict:
+    """Weak-scaling wall-clock of the HALO path (BASELINE config 5):
+    shard_stream_decode over the global mesh — each step moves the
+    (N-1)-symbol ppermute halo across every shard boundary, including
+    the process boundary when nproc > 1."""
+    import time
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.parallel.mesh import make_mesh
+    from gr_ldpc_ece535a_tpu.parallel.stream import _sharded_stream_runner
+
+    code = get_code("block_32_64")
+    N = code.N
+    S = jax.device_count()
+    T = frames_per_device * S * N
+    rng = np.random.default_rng(7)
+    stream = rng.normal(0.0, 1.0, T).astype(np.float32)
+    mesh = make_mesh(("stream",))
+    sh = NamedSharding(mesh, P("stream"))
+    garr = jax.make_array_from_callback((T,), sh, lambda idx: stream[idx])
+    run = _sharded_stream_runner(code, mesh, 0, 5, 0, "stream")
+    for _ in range(2):
+        _, w = run(garr)
+        jnp.sum(w).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _, w = run(garr)
+        jnp.sum(w).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "mode": "bench_stream",
+        "frames_per_device": frames_per_device,
+        "step_wall_s": dt,
+        "frames_per_s_global": frames_per_device * S / dt,
+    }
+
+
+def _bench_launcher(frames_per_device: int, stream: bool = False) -> None:
     """Weak-scaling efficiency, 1 process -> 2 processes (same per-device
-    work). Spawns the workers itself; prints one JSON line."""
+    work). Spawns the workers itself; prints one JSON line. stream=True
+    benches the halo (shard_stream_decode) path instead of the psum
+    sweep."""
     import os
     import socket
     import subprocess
@@ -165,12 +210,13 @@ def _bench_launcher(frames_per_device: int) -> None:
             return s.getsockname()[1]
 
     results = {}
+    mode = "bench_stream" if stream else "bench"
     for nproc, dev_per in ((1, 2), (2, 2)):
         port = free_port()
         procs = [
             subprocess.Popen(
                 [sys.executable, __file__, str(pid), str(nproc), str(port),
-                 str(dev_per), str(frames_per_device), "bench"],
+                 str(dev_per), str(frames_per_device), mode],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, env=dict(os.environ))
             for pid in range(nproc)
@@ -192,7 +238,7 @@ def _bench_launcher(frames_per_device: int) -> None:
         results[nproc] = json.loads(outs[0].strip().splitlines()[-1])
     t1, t2 = results[1]["step_wall_s"], results[2]["step_wall_s"]
     print(json.dumps({
-        "metric": "weak_scaling_efficiency_1to2proc",
+        "metric": f"weak_scaling_efficiency_1to2proc_{mode}",
         "value": t1 / t2,
         "fabric": "cpu-gloo (methodology check; TPU ICI/DCN numbers "
                   "require a real 2-host slice)",
@@ -204,6 +250,10 @@ def _bench_launcher(frames_per_device: int) -> None:
 def main() -> None:
     if sys.argv[1:2] == ["--bench"]:
         _bench_launcher(int(sys.argv[2]) if len(sys.argv) > 2 else 2048)
+        return
+    if sys.argv[1:2] == ["--bench-stream"]:
+        _bench_launcher(int(sys.argv[2]) if len(sys.argv) > 2 else 512,
+                        stream=True)
         return
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     frames = int(sys.argv[5]) if len(sys.argv) > 5 else 64
@@ -217,6 +267,8 @@ def main() -> None:
         out = _run_sweep(frames)
     elif mode == "bench":
         out = _run_bench(frames)
+    elif mode == "bench_stream":
+        out = _run_bench_stream(frames)
     else:
         out = _run_stream(frames)
     out["n_global_devices"] = jax.device_count()
