@@ -26,7 +26,7 @@ API sketch::
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
