@@ -78,6 +78,10 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--display", metavar="CMD", default=None,
+                    help="spawn CMD <path> per written image (the "
+                         "reference shells /usr/bin/display, "
+                         "image_sink_impl.cc:66-69)")
     ap.add_argument("--native", action="store_true",
                     help="run through the native threaded pipeline (C++ "
                          "file-source and BMP-sink threads overlapping the "
@@ -114,7 +118,8 @@ def main() -> None:
     enc = LdpcEncoderBlock()
     chan = AwgnBlock(args.ebn0_db, seed=args.seed)
     dec = LdpcDecoderBlock(method=args.method, verbose=not args.quiet)
-    sink = ImageSink(out_path=args.out, verbose=not args.quiet)
+    sink = ImageSink(out_path=args.out, verbose=not args.quiet,
+                     display_cmd=args.display)
     fg.connect(src, enc, chan, dec, sink)
     fg.run()
 

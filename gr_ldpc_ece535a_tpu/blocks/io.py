@@ -272,8 +272,9 @@ class ImageSink(Block):
     BMP header ('B','M', zeroed reserved bytes, known DIB size), read the
     little-endian file size, buffer bytes, and when the *next* header arrives
     (or the stream ends with a complete image) write the previous image out.
-    The reference shells out to an X11 viewer; here that's an optional
-    callback. Unlike the reference (which misses headers within 18 bytes of
+    The reference shells out to an X11 viewer; here that's the optional
+    ``display_cmd`` (the literal side-effect, off by default) and/or the
+    ``on_image`` callback. Unlike the reference (which misses headers within 18 bytes of
     a work-chunk boundary), scanning here carries an 18-byte tail across
     chunks, so no header is ever missed.
     """
@@ -284,11 +285,17 @@ class ImageSink(Block):
 
     def __init__(self, out_path: str = "result.bmp", every_image: bool = False,
                  on_image=None, verbose: bool = True,
-                 use_native: Optional[bool] = None) -> None:
+                 use_native: Optional[bool] = None,
+                 display_cmd: Optional[str] = None) -> None:
         super().__init__()
         self._out_path = out_path
         self._every = every_image  # write result_1.bmp, result_2.bmp, ...
         self._on_image = on_image
+        # display_cmd: spawn a viewer per written image, fire-and-forget —
+        # the reference's literal side-effect (image_sink_impl.cc:66-69
+        # shells "/usr/bin/display result.bmp &"). Off by default (the
+        # reference hardcodes it on); e.g. display_cmd="/usr/bin/display"
+        self._display_cmd = display_cmd
         self._verbose = verbose
         self._stream = bytearray()   # unscanned/unflushed window of the stream
         self._img_start: Optional[int] = None  # header offset in _stream
@@ -331,6 +338,16 @@ class ImageSink(Block):
         self.images_written += 1
         if self._verbose:
             print("File written")
+        if self._display_cmd is not None:
+            import shlex
+            import subprocess
+            try:  # detached, like the reference's trailing '&'
+                subprocess.Popen(shlex.split(self._display_cmd) + [path],
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.DEVNULL)
+            except OSError as e:
+                if self._verbose:
+                    print(f"display command failed: {e}")
         if self._on_image is not None:
             self._on_image(path)
 

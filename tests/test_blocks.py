@@ -295,3 +295,30 @@ def test_flowgraph_stall_guard_raises_on_undersized_capacity():
     fg.connect(src, Needs100(), NullSink())
     with pytest.raises(RuntimeError, match="stalled"):
         fg.run()
+
+
+def test_image_sink_display_cmd_side_effect(tmp_path):
+    """display_cmd reproduces the reference's viewer side-effect
+    (image_sink_impl.cc:66-69 shells '/usr/bin/display result.bmp &'):
+    one detached process per written image, given the image path."""
+    import sys
+    import time as _time
+    from gr_ldpc_ece535a_tpu.blocks import ImageSink
+
+    bmp = bytes([0x42, 0x4D, 26, 0, 0, 0, 0, 0, 0, 0, 26, 0, 0, 0,
+                 12, 0, 0, 0, 1, 0, 1, 0, 1, 0, 24, 0])
+    out = tmp_path / "result.bmp"
+    marker = tmp_path / "seen.py"
+    marker.write_text(
+        "import sys, pathlib\n"
+        "pathlib.Path(sys.argv[1] + '.seen').write_text('x')\n")
+    sink = ImageSink(out_path=str(out), verbose=False,
+                     display_cmd=f"{sys.executable} {marker}")
+    sink.work(np.frombuffer(bmp + bmp, np.uint8))  # 2nd header flushes 1st
+    sink.stop()
+    assert out.exists()
+    for _ in range(100):                           # detached: poll briefly
+        if (tmp_path / "result.bmp.seen").exists():
+            break
+        _time.sleep(0.05)
+    assert (tmp_path / "result.bmp.seen").exists()
