@@ -60,6 +60,15 @@ for name, pfn, xfn in (
             r, code, iterations=20, mode=m, early_exit=True))(rx))
         out[f"mismatch_{mode}_{name}"] = int(
             (vp != vx).any(axis=1).sum())
+    # fixed-iteration (fully UNROLLED) kernels: post-convergence wander
+    # makes exact parity the wrong target here (docs/kernels.md), so the
+    # assertion is a bound on the wander rate
+    vxf = np.asarray(jax.jit(lambda r: xfn(
+        r, code, iterations=20, early_exit=False))(rx))
+    vpf = np.asarray(jax.jit(lambda r: pfn(
+        r, code, iterations=20, mode="precise"))(rx))
+    out[f"mismatch_fixed20_precise_{name}"] = int(
+        (vpf != vxf).any(axis=1).sum())
 print(json.dumps(out))
 """ % {"repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
 
@@ -93,3 +102,10 @@ def test_compiled_kernels_match_xla_on_tpu():
     # frames; the envelope is <=0.8% of the batch
     assert res["mismatch_fast_sumproduct"] <= int(0.008 * res["batch"]), res
     assert res["mismatch_fast_minsum"] <= int(0.008 * res["batch"]), res
+    # fixed-iteration unrolled kernels: disagreements are post-convergence
+    # wander (~0.17% measured, results/parity_r4.json fixed20 counters);
+    # bound at 1%
+    assert res["mismatch_fixed20_precise_sumproduct"] <= int(
+        0.01 * res["batch"]), res
+    assert res["mismatch_fixed20_precise_minsum"] <= int(
+        0.01 * res["batch"]), res
