@@ -499,12 +499,15 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         delta = 1.0 / nfilts                 # input samples per phase step
         g1 = (e1p - e1m) / (2.0 * delta)
         g2 = (e2p - e2m) / (2.0 * delta)
-        # tau in input samples; guard degenerate slopes (no signal) and
-        # clamp to the half-symbol capture range
-        tau1 = jnp.clip(e1 / jnp.where(jnp.abs(g1) < 1e-3, 1e-3, g1),
-                        -0.5 * sps, 0.5 * sps)
-        tau2 = jnp.clip(e2 / jnp.where(jnp.abs(g2) < 1e-3, 1e-3, g2),
-                        -0.5 * sps, 0.5 * sps)
+        # tau in input samples; guard degenerate slopes (no signal) by
+        # flooring |g| while PRESERVING its sign (a +1e-3 floor on a
+        # small negative slope would flip tau and drive a clamped
+        # wrong-direction correction on no-signal blocks), then clamp
+        # to the half-symbol capture range
+        g1f = jnp.where(g1 < 0, -1.0, 1.0) * jnp.maximum(jnp.abs(g1), 1e-3)
+        g2f = jnp.where(g2 < 0, -1.0, 1.0) * jnp.maximum(jnp.abs(g2), 1e-3)
+        tau1 = jnp.clip(e1 / g1f, -0.5 * sps, 0.5 * sps)
+        tau2 = jnp.clip(e2 / g2f, -0.5 * sps, 0.5 * sps)
         h = B // 2
         # gain schedule: tau noise scales ~1/sqrt(half-block), so large
         # blocks take a near-deadbeat step (lock in ~2 blocks — all a

@@ -141,6 +141,12 @@ def _fused_receiver_program(code, method, iterations, threshold, n_off,
     F = T_padded // N
     dec = make_decoder(code, method=method, iterations=iterations, jit=False,
                        backend=_body_backend(kernel_mode, method, on_tpu))
+    # acquisition decodes use the matched-decision "auto" backend even in
+    # kernel_mode="fast": lock decisions on marginal frames must agree with
+    # the two-phase/chunked paths (round-4 advisor finding — the body's
+    # bf16 kernels are for throughput, not for choosing the lock)
+    dec_acq = make_decoder(code, method=method, iterations=iterations,
+                           jit=False, backend="auto" if on_tpu else "xla")
     idx = (np.arange(n_off)[:, None] + np.arange(L * N)[None, :]).astype(
         np.int32)
     from ..ops import pack_bits
@@ -149,7 +155,7 @@ def _fused_receiver_program(code, method, iterations, threshold, n_off,
     def run(stream):                          # (T_padded,) f32
         win = jnp.take(stream, jnp.asarray(idx), axis=0)
         cand = jnp.concatenate([win, -win]).reshape(2 * n_off * L, N)
-        w = syndrome_weight(dec(cand), code.H).reshape(2, n_off, L)
+        w = syndrome_weight(dec_acq(cand), code.H).reshape(2, n_off, L)
         ok, off, pol = _select_lock(w, threshold, n_off)
         body = jnp.where(pol > 0, -stream, stream)
         # tail padding must cover the FULL searched offset range: the
@@ -541,8 +547,18 @@ class StreamReceiver:
             self.kernel_mode, Fc, ext_len, on_tpu)
         ext = jnp.pad(dev, (0, ext_len - T))
         ok, off, pol, w0 = acq_run(ext[:need])
-        outs = [chunk_run(ext, off, pol, jnp.int32(c)) for c in range(C)]
         timings: dict = {"fused": True, "pipeline_chunks": C}
+        if profile:
+            # record acquisition separately (comparable with the
+            # two-phase/fused breakdowns' acquire_s): sync on the lock
+            # scalars before dispatching chunks — costs one round trip,
+            # and only in the profiled pass; unprofiled, the chunks
+            # consume (off, pol) as a device-side dependency with no
+            # host sync in between
+            jax.device_get(ok)
+            timings["acquire_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+        outs = [chunk_run(ext, off, pol, jnp.int32(c)) for c in range(C)]
         timings["dispatch_s"] = time.perf_counter() - t0
         t0 = time.perf_counter()
         if profile:

@@ -138,11 +138,11 @@ def _run_bench(frames_per_device: int, reps: int = 20) -> dict:
     step = make_sweep_step(code, mesh, method=0, iterations=5,
                            frames_per_device=frames_per_device)
     key = jax.random.PRNGKey(0)
-    for _ in range(2):          # compile + warm (stats fetch = sync point)
-        step(key, 4.0)
+    for _ in range(2):          # compile + warm
+        jax.block_until_ready(step(key, 4.0))
     t0 = time.perf_counter()
     for _ in range(reps):
-        step(key, 4.0)
+        jax.block_until_ready(step(key, 4.0))
     dt = (time.perf_counter() - t0) / reps
     g = jax.device_count()
     return {
