@@ -107,6 +107,12 @@ __all__ = ["pallas_decode_minsum", "pallas_decode_sumproduct",
 _HIGHEST = jax.lax.Precision.HIGHEST
 _BIG = np.float32(1e30)
 _PHI_CLAMP = np.float32(1e4)
+# Fixed-iteration SPLIT kernels process this many independent half-width
+# batch chains interleaved in the unrolled trace, so the Mosaic scheduler
+# can fill the MXU during the sibling chain's VPU check step (and vice
+# versa). 2 measured best on the E=768 code (tools/bench_large_r5.py);
+# falls back to 1 when the tile isn't divisible.
+_SPLIT_LANES = 2
 
 
 def _full_unroll(n_steps: int) -> int:
@@ -547,20 +553,32 @@ def _wmajor_layout(code: LdpcCode):
 # (MAX_EDGE_SLOTS_SPLIT in ops.layout records the measured envelope).
 
 def _make_mm2(precise: bool):
-    """Two-pass hi/lo (precise) or single bf16 (fast) matmul for the split
-    kernels. Unlike the Gram path, the split path's contraction dims (E and
-    N of large codes) are already multiples of 128, so operand stacking
-    would save no MXU tiles — the plain two-pass form keeps the constant
-    matrices single-width (half the VMEM)."""
+    """STACKED hi/lo (precise) or single bf16 (fast) matmul for the split
+    kernels, as (splitv, mm): precise splits x == hi + lo and stacks the
+    halves along the contraction axis, multiplying against a doubled
+    matrix [A | A] in one pass — the same trick as the Gram path's
+    _make_split_mm. The split path's contraction dims (E and N) are
+    already multiples of 128 so no MXU tiles are saved, but one fused
+    matmul replaces two dependent dispatches per aggregation (measured
+    +5-9% on the E=768 code, round 5 — tools/bench_large_r5.py: two-pass
+    0.57-0.64e9, stacked 0.61-0.67e9 at 20 iterations. That is within 3%
+    of the kernel's own matmul-only skeleton (0.683e9 measured with the
+    check step stubbed to one multiply), i.e. the precise split path is
+    MAC-bound at its structural minimum of 4*N*E MACs/frame/iteration —
+    hi/lo aggregation + hi/lo gather; further gains need fewer MACs, not
+    better scheduling)."""
     if precise:
-        def mm2(a, x):
+        def splitv(x):
             hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-            return (jnp.dot(a, hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(a, x - hi, preferred_element_type=jnp.float32))
+            return jnp.concatenate([hi, x - hi], axis=0)
     else:
-        def mm2(a, x):
-            return jnp.dot(a, x, preferred_element_type=jnp.float32)
-    return mm2
+        def splitv(x):
+            return x
+
+    def mm2(a, s):
+        return jnp.dot(a, s, preferred_element_type=jnp.float32)
+
+    return splitv, mm2
 
 
 def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
@@ -569,10 +587,11 @@ def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
                              out_ref):
     Bt = rx_ref.shape[1]
     E = Wr * M
-    mm = _make_mm2(precise)
+    splitv, mm = _make_mm2(precise)
     r = -rx_ref[:]                          # (N, Bt)
-    bcm = bcm_ref[:]                        # (N, E)
-    bcmT = bcmT_ref[:]                      # (E, N)
+    bcm2 = bcm_ref[:]                       # (N, E); precise: (N, 2E)=[b|b]
+    bcm = bcm2[:, :E]
+    bcmT2 = bcmT_ref[:]                     # (E, N); precise: (E, 2N)
     padbig = padbig_ref[:]
     deg = jnp.sum(bcm, axis=1, keepdims=True)
     degr = deg * r
@@ -586,24 +605,40 @@ def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
     Mmsg0 = gather(r) + padbig
 
     def check_step(Mmsg):
-        t = Mmsg.reshape(Wr, M, Bt)
+        t = Mmsg.reshape(Wr, M, Mmsg.shape[1])
         sg = jnp.where(t < 0, -1.0, 1.0)
         w = jnp.maximum(jnp.log(jnp.tanh(jnp.abs(t) * 0.5)), -_PHI_CLAMP)
         U = _tree(jnp.add, w)
         negP = -_tree(jnp.multiply, sg)
         v = w - U
-        return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))).reshape(E, Bt)
+        return ((negP * sg) * jnp.log(jnp.tanh(v * 0.5))
+                ).reshape(E, Mmsg.shape[1])
 
     if not early_exit:
+        # interleaved independent half-tile chains — see the min-sum split
+        # kernel's comment (bit-identical per column; fills the idle unit)
+        lanes = _SPLIT_LANES if Bt % (128 * _SPLIT_LANES) == 0 else 1
+        h = Bt // lanes
+        sl = [slice(k * h, (k + 1) * h) for k in range(lanes)]
+
         # last iteration's bit-message update is dead (see the Gram kernel)
-        def body(_i, Mmsg):
-            Em = check_step(Mmsg)
-            return base + mm(bcmT, mm(bcm, Em)) - Em
-        Mlast = jax.lax.fori_loop(0, iterations - 1, body, Mmsg0,
-                                  unroll=_full_unroll(iterations - 1))
-        Em = (check_step(Mlast) if iterations > 0
-              else jnp.zeros_like(Mmsg0))
-        L = mm(bcm, Em) + degr
+        def body(_i, Mmsgs):
+            outs = []
+            for k, Mmsg in enumerate(Mmsgs):
+                Em = check_step(Mmsg)
+                outs.append(base[:, sl[k]]
+                            + mm(bcmT2, splitv(mm(bcm2, splitv(Em)))) - Em)
+            return tuple(outs)
+
+        Mlasts = jax.lax.fori_loop(0, iterations - 1, body,
+                                   tuple(Mmsg0[:, s] for s in sl),
+                                   unroll=_full_unroll(iterations - 1))
+        cols = []
+        for k, Mlast in enumerate(Mlasts):
+            Em = (check_step(Mlast) if iterations > 0
+                  else jnp.zeros_like(Mlast))
+            cols.append(mm(bcm2, splitv(Em)) + degr[:, sl[k]])
+        L = jnp.concatenate(cols, axis=1)
         out_ref[:] = (L <= 0).astype(jnp.int8)
         return
 
@@ -616,9 +651,9 @@ def _sumproduct_split_kernel(iterations: int, M: int, Wr: int, N: int,
     def wbody(carry):
         i, Mmsg, L, done = carry
         Em = check_step(Mmsg)
-        A = mm(bcm, Em)
+        A = mm(bcm2, splitv(Em))
         Lnew = A + degr
-        Mnew = base + mm(bcmT, A) - Em
+        Mnew = base + mm(bcmT2, splitv(A)) - Em
         L = jnp.where(done > 0, L, Lnew)
         vhat_f = (Lnew <= 0).astype(jnp.float32)
         done = jnp.maximum(done, (_unsat(Hf, vhat_f) == 0).astype(jnp.float32))
@@ -638,10 +673,11 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
     Bt = rx_ref.shape[1]
     E = Wr * M
     big = jnp.float32(np.finfo(np.float32).max)
-    mm = _make_mm2(precise)
+    splitv, mm = _make_mm2(precise)
     Lci = -rx_ref[:]
-    bcm = bcm_ref[:]
-    bcmT = bcmT_ref[:]
+    bcm2 = bcm_ref[:]                       # (N, E); precise: (N, 2E)
+    bcm = bcm2[:, :E]
+    bcmT2 = bcmT_ref[:]                     # (E, N); precise: (E, 2N)
     padbig = padbig_ref[:]
 
     def gather(x):
@@ -653,7 +689,7 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
     Lq0 = base
 
     def check_step(Lq):
-        t = Lq.reshape(Wr, M, Bt)
+        t = Lq.reshape(Wr, M, Lq.shape[1])
         beta = jnp.abs(t)
         sg = jnp.where(t < 0, -1.0, 1.0)
         P = _tree(jnp.multiply, sg)
@@ -663,18 +699,38 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
             min_excl = jnp.maximum(min_excl - norm_offset, 0.0)
         if norm_scale != 1.0:
             min_excl = min_excl * norm_scale
-        return (sg * (prod_alpha * min_excl)).reshape(E, Bt)
+        return (sg * (prod_alpha * min_excl)).reshape(E, Lq.shape[1])
 
     if not early_exit:
+        # The batch tile is split into _SPLIT_LANES independent half-width
+        # chains, interleaved in the unrolled straight-line trace: the
+        # serial check(VPU) -> aggregate(MXU) dependency within one chain
+        # leaves a unit idle at each step, and the sibling chain's
+        # independent work is exactly what the Mosaic scheduler needs to
+        # fill it (identical per-column arithmetic — columns never
+        # interact — so the result is bit-identical to a single chain).
+        lanes = _SPLIT_LANES if Bt % (128 * _SPLIT_LANES) == 0 else 1
+        h = Bt // lanes
+        sl = [slice(k * h, (k + 1) * h) for k in range(lanes)]
+
         # last iteration's Lq update is dead (see the Gram kernel)
-        def body(_i, Lq):
-            Lr = check_step(Lq)
-            return base + mm(bcmT, mm(bcm, Lr)) - Lr
-        Lqlast = jax.lax.fori_loop(0, iterations - 1, body, Lq0,
-                                   unroll=_full_unroll(iterations - 1))
-        Lr = (check_step(Lqlast) if iterations > 0
-              else jnp.zeros_like(Lq0))
-        LQ = Lci + mm(bcm, Lr)
+        def body(_i, Lqs):
+            outs = []
+            for k, Lq in enumerate(Lqs):
+                Lr = check_step(Lq)
+                outs.append(base[:, sl[k]]
+                            + mm(bcmT2, splitv(mm(bcm2, splitv(Lr)))) - Lr)
+            return tuple(outs)
+
+        Lqs = jax.lax.fori_loop(0, iterations - 1, body,
+                                tuple(Lq0[:, s] for s in sl),
+                                unroll=_full_unroll(iterations - 1))
+        cols = []
+        for k, Lq in enumerate(Lqs):
+            Lr = (check_step(Lq) if iterations > 0
+                  else jnp.zeros_like(Lq))
+            cols.append(Lci[:, sl[k]] + mm(bcm2, splitv(Lr)))
+        LQ = jnp.concatenate(cols, axis=1)
         out_ref[:] = (LQ < 0).astype(jnp.int8)
         return
 
@@ -687,9 +743,9 @@ def _minsum_split_kernel(iterations: int, M: int, Wr: int, N: int,
     def wbody(carry):
         i, Lq, LQ, done = carry
         Lr = check_step(Lq)
-        A = mm(bcm, Lr)
+        A = mm(bcm2, splitv(Lr))
         LQ_new = Lci + A
-        Lq_new = base + mm(bcmT, A) - Lr
+        Lq_new = base + mm(bcmT2, splitv(A)) - Lr
         Lq = jnp.where(done > 0, Lq, Lq_new)
         LQ = jnp.where(done > 0, LQ, LQ_new)
         vhat_f = (LQ_new < 0).astype(jnp.float32)
@@ -705,14 +761,19 @@ def _run_split(kernel_body, rx, code, iterations, block_b, interpret, precise,
                early_exit, extra_args=()):
     bcm_np, _gram, padbig_np, Wr = _wmajor_layout(code)
     N, E = bcm_np.shape
+    bcmT_np = np.ascontiguousarray(bcm_np.T)
+    if precise:
+        # doubled matrices for the stacked hi/lo aggregation (_make_mm2)
+        bcm_np = np.concatenate([bcm_np, bcm_np], axis=1)     # (N, 2E)
+        bcmT_np = np.concatenate([bcmT_np, bcmT_np], axis=1)  # (E, 2N)
     B = rx.shape[0]
     Hf = jnp.asarray(code.H.astype(np.float32))               # (M, N)
     return _launch(
         functools.partial(kernel_body, iterations, code.M, Wr, N, precise,
                           early_exit, B, *extra_args),
         rx, N,
-        [(jnp.asarray(bcm_np), (N, E)),
-         (jnp.asarray(np.ascontiguousarray(bcm_np.T)), (E, N)),
+        [(jnp.asarray(bcm_np), bcm_np.shape),
+         (jnp.asarray(bcmT_np), bcmT_np.shape),
          (jnp.asarray(padbig_np), (E, 1)), (Hf, (code.M, N))],
         block_b, interpret)
 
@@ -816,11 +877,34 @@ def _auto_block(mode: str, E: int, early_exit: bool = False,
     return max(256, (scaled // 256) * 256)
 
 
-def _auto_block_split(E: int, N: int, early_exit: bool) -> int:
+def _auto_block_split(E: int, N: int, early_exit: bool,
+                      precise: bool = False,
+                      method_kind: str = "minsum") -> int:
     """Batch block for the split kernels: what fits ~14 MiB VMEM after the
-    two (N, E) constant matrices, with ~4-5 live (E, block) f32 buffers."""
-    live = 5 if early_exit else 4
-    budget = 14 * 2**20 - 8 * N * E
+    constant matrices, with the MEASURED number of live (E, block) f32
+    buffers. Fixed-iteration: 4 for both modes with single-width constant
+    accounting — the precise mode's doubled matrices and stacked splitv
+    temp are offset by Mosaic's buffer reuse in the unrolled straight-line
+    loop (measured on the E=768 code: precise compiles at the same b1024
+    the fast path uses, and b1024 is its throughput optimum,
+    tools/bench_large_r5.py). Early-exit precise: the while-loop keeps
+    messages + frozen LLRs + the stacked operand live simultaneously —
+    measured live-equivalent ~9 (min-sum) / ~12 (sum-product, whose
+    check step keeps more temporaries alive across the matmuls) with the
+    doubled constants charged (E=768: 17.2 MiB at b768 and 17.3 MiB at
+    b512 both OOM for min-sum — the while-loop double-buffers its carry —
+    and b384 compiles + matches XLA on-chip; SPA needs b256)."""
+    if early_exit and precise:
+        live, const = (12 if method_kind == "sumproduct" else 9), 16 * N * E
+    elif early_exit:
+        # measured (round 5): the old live=5 law chose b768 for E=768,
+        # which OOMs on-chip by 1.5 MiB (this path had only interpret-mode
+        # coverage before); min-sum fits at b512 (live=7), sum-product
+        # misses b512 by 140 KiB and lands on b384 (live=9)
+        live, const = (9 if method_kind == "sumproduct" else 7), 8 * N * E
+    else:
+        live, const = 4, 8 * N * E
+    budget = 14 * 2**20 - const
     bb = budget // (live * 4 * E)
     return max(128, min(2048, (int(bb) // 128) * 128))
 
@@ -841,7 +925,8 @@ def _dispatch(exact_kernel, fast_kernel, split_kernel, rx, code, iterations,
     if block_b:
         bb = block_b  # explicit block skips the size gate (escape hatch)
     elif use_split:
-        bb = _auto_block_split(E, code.N, early_exit)
+        bb = _auto_block_split(E, code.N, early_exit, mode == "precise",
+                               method_kind)
     else:
         if not (interpret or pallas_supported(code)):
             raise ValueError(
