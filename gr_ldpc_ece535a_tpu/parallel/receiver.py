@@ -574,13 +574,18 @@ class StreamReceiver:
         # overlap the device-to-host copies: unprofiled, each chunk's
         # copy starts the moment its decode finishes (wire overlaps the
         # remaining decode); profiled, all copies start post-sync and
-        # overlap each other, so fetch_s is bytes/wire-rate plus ~1 RTT
+        # overlap each other, so fetch_s is bytes/wire-rate plus ~1 RTT.
+        # Collection is ONE batched device_get over every array: the
+        # round-4 driver capture proved a per-array np.asarray loop can
+        # pay a serial tunnel round trip per chunk (16 arrays x ~7 ms ate
+        # 111 ms — the profiled SERIALIZED pass beat the pipelined
+        # headline), while a single call batches the transfers.
         for p, b in outs:
             p.copy_to_host_async()
             b.copy_to_host_async()
-        ok_np, off_np, pol_np, w0_np = jax.device_get((ok, off, pol, w0))
-        packed_list = [np.asarray(p) for p, _ in outs]   # per-chunk views
-        bm_np = np.concatenate([np.asarray(b) for _, b in outs])
+        (ok_np, off_np, pol_np, w0_np), packed_list, bms = jax.device_get(
+            ((ok, off, pol, w0), [p for p, _ in outs], [b for _, b in outs]))
+        bm_np = np.concatenate(bms)
         t_fetch = time.perf_counter() - t0
         if profile:
             nbytes = sum(p.nbytes for p in packed_list) + bm_np.nbytes
