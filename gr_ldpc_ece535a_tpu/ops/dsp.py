@@ -58,6 +58,7 @@ __all__ = [
     "coarse_cfo_estimate_pairs",
     "vv_carrier_recovery_pairs",
     "pfb_clock_sync_pairs",
+    "pfb_clock_sync_ff_pairs",
     "rx_chain_pairs",
 ]
 
@@ -835,32 +836,321 @@ def pfb_clock_sync_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
     return ys, state
 
 
+def _wrap(v, period):
+    return jnp.mod(v + 0.5 * period, period) - 0.5 * period
+
+
+@partial(jax.jit, static_argnames=("sps", "nfilts", "excess_bw", "ntaps_per",
+                                   "est_block", "chunk_syms", "rate_clip"))
+def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
+                            excess_bw: float = 0.35, ntaps_per: int = 11,
+                            est_block: int = 1024, chunk_syms: int = 8192,
+                            rate_clip: float = 2.5e-4):
+    """FEED-FORWARD polyphase clock recovery (round 5).
+
+    The tracking scan in ``_pfb_core`` is a feedback loop: each block's
+    sampling depends on the previous block's update, so the sequential
+    scan's per-step latency — not compute — bounds chain throughput on a
+    TPU (measured ~26 us/step at block 4096 = ~3.2 ns/sample, the
+    dominant chain stage). For the continuous-pipeline regime
+    (transmitter/receiver.grc: one stable clock per stream, the BASELINE
+    config-5 scenario) the timing trajectory is a LINE, tau(m) = a + r*m,
+    and fitting it needs no feedback. Two passes, both parallel:
+
+    1. One windows matmul applies the matched filter, its derivative,
+       and both at -+1/nfilts probe shifts at the NOMINAL grid over the
+       whole stream at once (six tap columns, (nsym, T12) @ (T12, 6) on
+       the MXU). Per ``est_block`` symbols the power-normalized Gardner
+       discriminant e = <y.y'>/<|y|^2> and its in-band S-curve slope
+       g = (e+ - e-)*nfilts/2 give a wrapped timing estimate
+       tau_b = -e/g (period sps). The clock model is then fit
+       WRAP-ROBUSTLY: drift r from a confidence-weighted mean of
+       wrapped block-to-block differences (no cumulative unwrap to
+       poison), offset a from the circular mean of tau_b - r*m_b —
+       blocks near the discriminant's unstable zero self-exclude via
+       g <= 0 confidence weights.
+    2. A lean ``lax.scan`` over ``chunk_syms``-symbol chunks whose
+       (ibase, frac) are PRECOMPUTED arrays (no feedback in the carry)
+       filters at the model positions through the same extended
+       shift+phase tap bank as the tracker (one one-hot MXU matmul per
+       chunk), emitting symbols AND residual (e, g) probes; a weighted
+       least-squares line fit of the residuals refines (a, r) once —
+       pass-1 estimates are shrinkage-biased where |tau| nears sps/2,
+       the refinement measures in the discriminant's linear region —
+       and a second scan emits the final symbols.
+
+    rate_clip bounds |r| in samples/symbol (2.5e-4 covers +-62 ppm at
+    sps=2). Returns (ys (2, nsym), (a, r)). Lock under +-50 ppm drift +
+    carrier offset is pinned by tests against the tracking core's output.
+
+    Measured caveat (round 5, one v5e): removing the feedback did NOT
+    beat the tracker on wall clock — the per-symbol window-slab
+    materialization (a stride-``sps`` deinterleave the TPU vector layout
+    handles poorly), which both paths share, dominates per-step cost,
+    and this path builds windows for measure + emit + the pass-1 grid.
+    It is kept as the structurally parallel design (no sequential
+    dependence between chunks — e.g. shardable over a mesh axis, which
+    the feedback tracker fundamentally is not) rather than as a
+    single-chip speedup.
+    """
+    xr = xp[0].astype(jnp.float32)
+    xi = xp[1].astype(jnp.float32)
+    bank_np, dbank_np = polyphase_rrc_banks(sps, nfilts, excess_bw, ntaps_per)
+    L = bank_np.shape[1]
+    n = int(xr.shape[0])
+
+    # ---- pass 1: six-tap-set windows matmul at the nominal grid --------
+    # (an equivalent lax.conv lowered to the VPU and cost ~17 ms at 8.4M
+    # samples; the reshape-slab windows + one (nsym, T12) @ (T12, 6) MXU
+    # matmul is ~10x cheaper)
+    T1 = L + 2
+    Tq1 = (T1 + sps - 1) // sps
+    T12 = Tq1 * sps
+    nsym1 = (n - (Tq1 + 1) * sps) // sps
+    kerm = np.zeros((T12, 6), np.float32)
+    # extended-row convention (see _pfb_core): position offset of
+    # (shift d, phase p) = d + p/nfilts; center sits at offset 1 so the
+    # -1/nfilts probe stays in-window
+    kerm[1:1 + L, 0] = bank_np[0]
+    kerm[1:1 + L, 1] = dbank_np[0]
+    kerm[0:L, 2] = bank_np[nfilts - 1]            # center - 1/nfilts
+    kerm[0:L, 3] = dbank_np[nfilts - 1]
+    kerm[1:1 + L, 4] = bank_np[1]                 # center + 1/nfilts
+    kerm[1:1 + L, 5] = dbank_np[1]
+    kerm_j = jnp.asarray(kerm)
+
+    def _p1(x):
+        M = x[: (nsym1 + Tq1 + 1) * sps].reshape(nsym1 + Tq1 + 1, sps)
+        W = jnp.concatenate([M[q:q + nsym1] for q in range(Tq1)], 1)
+        return jnp.dot(W, kerm_j, preferred_element_type=jnp.float32)
+
+    cr, ci_ = _p1(xr), _p1(xi)                    # (nsym1, 6)
+    nb = nsym1 // est_block
+    cr_b = cr[: nb * est_block].reshape(nb, est_block, 6)
+    ci_b = ci_[: nb * est_block].reshape(nb, est_block, 6)
+    e_probe = []
+    pw_mean = None
+    for p in range(3):
+        yr, dyr = cr_b[:, :, 2 * p], cr_b[:, :, 2 * p + 1]
+        yi, dyi = ci_b[:, :, 2 * p], ci_b[:, :, 2 * p + 1]
+        u = jnp.mean(yr * dyr + yi * dyi, axis=1)
+        pw = jnp.mean(yr * yr + yi * yi, axis=1)
+        e_probe.append(u / (pw + 1e-12))
+        if p == 0:
+            pw_mean = pw
+    e0, em, ep = e_probe
+    g = (ep - em) * (nfilts / 2.0)                 # de/dtau, per block
+    # the discriminant is sinusoidal in the timing offset (measured:
+    # e(tau) ~ E sin(2 pi tau / sps), so g(tau) ~ E (2 pi / sps)
+    # cos(...)) — (e, g*sps/2pi) is a QUADRATURE pair and atan2 recovers
+    # tau over the FULL symbol, unbiased (a plain e/g linearization
+    # shrinks toward 0 away from the stable zero and explodes near the
+    # unstable one)
+    gq = g * (sps / (2.0 * jnp.pi))
+    # normalize the quadrature pair by the measured S-curve amplitudes
+    # before atan2: if amp(e) != amp(gq) the raw angle is elliptically
+    # warped (up to ~0.3-sample bias between the zeros); normalizing by
+    # the per-stream RMS amplitudes removes it, so the single refinement
+    # scan below starts in the discriminant's linear region.
+    sconf = pw_mean / (jnp.sum(pw_mean) + 1e-12)
+    amp_e = jnp.sqrt(2.0 * jnp.sum(sconf * e0 * e0)) + 1e-12
+    amp_g = jnp.sqrt(2.0 * jnp.sum(sconf * gq * gq)) + 1e-12
+    # sign: the scan applies ofs as a sampling ADVANCE, and its residual
+    # convention is "positive = late" (corrected by subtraction); the
+    # nominal-grid estimate enters the model negated so pass 2 starts
+    # with a near-zero residual (a sign-inverted start doubles the
+    # residual slope and can out-run the chunk unwrap)
+    tau = -(sps / (2.0 * jnp.pi)) * jnp.arctan2(e0 * amp_g, gq * amp_e)
+    conf = pw_mean * jnp.sqrt(e0 * e0 + gq * gq)   # S-curve amplitude
+    # drift from wrapped diffs (no cumulative unwrap), offset circularly
+    w2 = jnp.minimum(conf[1:], conf[:-1])
+    d = _wrap(tau[1:] - tau[:-1], float(sps))
+    r0 = jnp.sum(w2 * d) / (jnp.sum(w2) + 1e-12) / est_block
+    m_b = (jnp.arange(nb, dtype=jnp.float32) + 0.5) * est_block
+    ang = 2 * jnp.pi * (tau - r0 * m_b) / sps
+    a0 = (sps / (2 * jnp.pi)) * jnp.arctan2(
+        jnp.sum(conf * jnp.sin(ang)), jnp.sum(conf * jnp.cos(ang)) + 1e-12)
+
+    # ---- pass 2: precomputed-parameter chunk scan ----------------------
+    B = chunk_syms
+    D0 = int(math.ceil(B * rate_clip)) + 2
+    Dspan = 2 * D0 + 1
+    T = L + Dspan
+    Tq = (T + sps - 1) // sps
+    T2 = Tq * sps
+    win_len = (B + Tq + 1) * sps
+    R = Dspan * nfilts
+    # ONE extra shift group beyond Dspan: a dynamic row slice
+    # [s, s + R) of the extended bank implements the per-chunk
+    # fractional phase (s = round(frac * nfilts)), which keeps the
+    # (B, R) one-hot INDEPENDENT of the chunk — XLA hoists its
+    # construction out of the scan, so each step is one matmul against
+    # a small sliced bank instead of an 11-MB one-hot materialization
+    # (measured: the chunk-dependent one-hot dominated the scan wall)
+    etaps_np = np.zeros((R + nfilts, 2 * T2), np.float32)
+    for dd in range(Dspan + 1):
+        etaps_np[dd * nfilts:(dd + 1) * nfilts, dd:dd + L] = bank_np
+        etaps_np[dd * nfilts:(dd + 1) * nfilts,
+                 T2 + dd:T2 + dd + L] = dbank_np
+    # measure bank: center + -+1/nfilts probes x (y, dy) = 6 tap sets;
+    # emit bank: the center matched filter only (a third of the MXU work
+    # — the final scan needs no probes). bf16: the one-hot selection is
+    # exact; tap rounding (~0.4%) sits ~48 dB under the symbols, far
+    # below channel noise
+    big_m = jnp.asarray(np.concatenate(
+        [etaps_np, np.roll(etaps_np, 1, 0), np.roll(etaps_np, -1, 0)],
+        axis=1), jnp.bfloat16)                     # (R + nfilts, 6*T2)
+    big_e = jnp.asarray(etaps_np[:, :T2], jnp.bfloat16)
+    iota_r = jnp.arange(R, dtype=jnp.int32)[None, :]
+    # worst-case |a + r*m| over the stream bounds the front/back padding
+    max_ofs = int(math.ceil(rate_clip * (n // max(sps, 1)))) + sps + 2
+    P0 = max_ofs + D0 + 2
+    xr_p = jnp.concatenate([jnp.zeros(P0, jnp.float32), xr,
+                            jnp.zeros(P0 + win_len, jnp.float32)])
+    xi_p = jnp.concatenate([jnp.zeros(P0, jnp.float32), xi,
+                            jnp.zeros(P0 + win_len, jnp.float32)])
+    nc = max((n - win_len - max_ofs) // (B * sps), 0)
+    if nc == 0:
+        raise ValueError(
+            f"stream of {n} samples too short for chunk_syms={B}")
+    ks_i = jnp.arange(B, dtype=jnp.int32)
+    ks_f = ks_i.astype(jnp.float32)
+
+    def chunk_params(a_hat, r_hat):
+        mc = jnp.arange(nc, dtype=jnp.float32) * B
+        ofs = a_hat + r_hat * mc
+        ib = ((jnp.arange(nc, dtype=jnp.int32) * (B * sps))
+              + jnp.floor(ofs).astype(jnp.int32) + P0)
+        fr = ofs - jnp.floor(ofs)
+        # fractional phase as an extended-bank row shift (see above);
+        # quantizing frac separately from k*r_hat costs at most one
+        # 1/nfilts step of jitter vs the fused rounding
+        return ib, jnp.clip(jnp.round(fr * nfilts).astype(jnp.int32),
+                            0, nfilts)
+
+    def chunk_onehot(r_hat):
+        # chunk-independent symbol row indices (the frac shift moved to
+        # the bank slice) — constructed ONCE per scan, hoisted by XLA
+        r_idx = (D0 * nfilts
+                 + jnp.round(ks_f * r_hat * nfilts).astype(jnp.int32))
+        r_idx = jnp.clip(r_idx, 1, R - 2)
+        return (r_idx[:, None] == iota_r).astype(jnp.bfloat16)
+
+    def windows(ibase):
+        wr = jax.lax.dynamic_slice(xr_p, (ibase,), (win_len,))
+        wi = jax.lax.dynamic_slice(xi_p, (ibase,), (win_len,))
+        Mr = wr.reshape(B + Tq + 1, sps)
+        Mi = wi.reshape(B + Tq + 1, sps)
+        W0r = jnp.concatenate([Mr[q:q + B] for q in range(Tq)], 1)
+        W0i = jnp.concatenate([Mi[q:q + B] for q in range(Tq)], 1)
+        return W0r, W0i
+
+    def measure_pass(a_hat, r_hat):
+        ib, sh = chunk_params(a_hat, r_hat)
+        oh = chunk_onehot(r_hat)
+
+        def body(_, inps):
+            ibase, s_c = inps
+            W0r, W0i = windows(ibase)
+            bsl = jax.lax.dynamic_slice(big_m, (s_c, jnp.int32(0)),
+                                        (R, 6 * T2))
+            td = jnp.dot(oh, bsl, preferred_element_type=jnp.float32)
+            es, pws = [], []
+            for b in range(3):
+                tf = td[:, (2 * b) * T2:(2 * b + 1) * T2]
+                df = td[:, (2 * b + 1) * T2:(2 * b + 2) * T2]
+                yr = jnp.sum(W0r * tf, axis=1)
+                yi_ = jnp.sum(W0i * tf, axis=1)
+                u = jnp.mean(yr * jnp.sum(W0r * df, axis=1)
+                             + yi_ * jnp.sum(W0i * df, axis=1))
+                pw = jnp.mean(yr * yr + yi_ * yi_)
+                es.append(u / (pw + 1e-12))
+                pws.append(pw)
+            g_c = (es[2] - es[1]) * (nfilts / 2.0)
+            return None, (es[0], g_c, pws[0])
+
+        return jax.lax.scan(body, None, (ib, sh))[1]
+
+    def emit_pass(a_hat, r_hat):
+        ib, sh = chunk_params(a_hat, r_hat)
+        oh = chunk_onehot(r_hat)
+
+        def body(_, inps):
+            ibase, s_c = inps
+            W0r, W0i = windows(ibase)
+            bsl = jax.lax.dynamic_slice(big_e, (s_c, jnp.int32(0)),
+                                        (R, T2))
+            td = jnp.dot(oh, bsl, preferred_element_type=jnp.float32)
+            return None, jnp.stack([jnp.sum(W0r * td, axis=1),
+                                    jnp.sum(W0i * td, axis=1)])
+
+        ys = jax.lax.scan(body, None, (ib, sh))[1]
+        return jnp.transpose(ys, (1, 0, 2)).reshape(2, -1)
+
+    # ONE refinement round: pass 1's normalized-quadrature estimate lands
+    # within the discriminant's linear region, where atan2(e, gq) -> e/g
+    # is exact, so a single measured correction reaches the noise floor;
+    # the emit scan then runs with the center-bank only
+    m_c = (jnp.arange(nc, dtype=jnp.float32) + 0.5) * B
+    e_c, g_c, pw_c = measure_pass(a0, r0)
+    gq_c = g_c * (sps / (2.0 * jnp.pi))
+    dtau = (sps / (2.0 * jnp.pi)) * jnp.arctan2(e_c, gq_c)
+    # residuals live on a circle (period sps); a leftover drift error
+    # makes the far chunks wrap, and a straight-line fit of wrapped
+    # data shrinks the slope (measured: r stalled 11% off while one
+    # stream end stayed perfect). Unwrap along chunks first —
+    # adjacent-chunk residual steps are << sps/2 by construction.
+    dtau = jnp.concatenate(
+        [dtau[:1], dtau[:1] + jnp.cumsum(
+            _wrap(dtau[1:] - dtau[:-1], float(sps)))])
+    w_c = pw_c * jnp.sqrt(e_c * e_c + gq_c * gq_c)
+    sw = jnp.sum(w_c) + 1e-12
+    mx = jnp.sum(w_c * m_c) / sw
+    my = jnp.sum(w_c * dtau) / sw
+    varx = jnp.sum(w_c * (m_c - mx) ** 2) / sw + 1e-12
+    dr = jnp.sum(w_c * (m_c - mx) * (dtau - my)) / sw / varx
+    a_hat = a0 - (my - dr * mx)
+    r_hat = jnp.clip(r0 - dr, -rate_clip, rate_clip)
+    return emit_pass(a_hat, r_hat), (a_hat, r_hat)
+
+
 def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
                    nfilts: int = 32, agc_block: int = 256,
                    carrier_block: int = 64, max_freq: float = 0.2,
-                   timing_block_syms: int = 64) -> jax.Array:
+                   timing_block_syms: int = 64,
+                   timing: str = "track") -> jax.Array:
     """Device-resident receive chain in pair form: (2, T) samples ->
     (2, nsym) 1-sample/symbol soft BPSK symbols. The TPU path of
     ``rx_chain`` (which needs a complex-capable backend); feed plane 0
     (the real part) to ``parallel.StreamReceiver.receive``.
 
-    timing_block_syms: the clock-tracking scan processes this many symbols
-    per sequential step; the scan's step latency — not compute — bounds
-    chain throughput on a TPU, so larger blocks are proportionally faster.
-    Since round 4 the tracker interpolates the sampling phase per symbol
-    inside each block and self-calibrates its timing discriminant
-    (_pfb_core.step), so block size no longer bounds the tolerable
-    drift: 64 through 4096-symbol blocks all lock under +-50 ppm clock
-    offset plus 0.01 carrier offset (pinned by tests at 256 and 2048).
-    4096 is the supported ceiling: at 8192 the pre-convergence drift
-    across one block exceeds the timing discriminant's half-symbol
-    capture range (the estimate aliases), and measured chain throughput
-    has stopped scaling with block size well before that anyway.
+    timing="track" (default): the feedback clock tracker
+    (``pfb_clock_sync_pairs``) — adapts to a time-varying clock, and
+    ``timing_block_syms`` sets its sequential-scan block (the scan's
+    per-step latency, not compute, bounds chain throughput on a TPU;
+    64..4096-symbol blocks all lock under +-50 ppm drift + 0.01 carrier
+    offset, pinned by tests; 4096 is the supported ceiling — at 8192 the
+    pre-convergence drift across one block exceeds the discriminant's
+    capture range).
+
+    timing="ff": the round-5 FEED-FORWARD recovery
+    (``pfb_clock_sync_ff_pairs``) — fits the linear clock model
+    (offset, drift) with parallel estimation passes and a
+    precomputed-parameter scan instead of a feedback loop. Measured on
+    this chip the two paths are comparable (the per-symbol window
+    materialization, shared by both, dominates — see the ff docstring),
+    so "track" remains the default; "ff" is the structurally parallel
+    alternative for the one-stable-clock regime and is pinned by the
+    same lock tests.
     """
     xp = block_agc_pairs(xp, block=agc_block)
     f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
     xp = mix_pairs(xp, f)
-    yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
-                                      excess_bw=excess_bw,
-                                      block_syms=timing_block_syms)
+    if timing == "ff":
+        yp, _model = pfb_clock_sync_ff_pairs(xp, sps=sps, nfilts=nfilts,
+                                             excess_bw=excess_bw)
+    else:
+        yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
+                                          excess_bw=excess_bw,
+                                          block_syms=timing_block_syms)
     return vv_carrier_recovery_pairs(yp, block=carrier_block)

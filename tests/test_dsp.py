@@ -394,3 +394,57 @@ def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio, block):
     out = recv.receive(sp[0])
     assert out.acquisition is not None, "receiver never locked"
     assert msg[len(msg) // 2:] in out.data
+
+
+@pytest.mark.parametrize("name,ratio,phase,noise", [
+    ("clean", 1.0, 0.0, 0.0),
+    ("+50ppm", 1 + 50e-6, 0.0, 0.05),
+    ("-50ppm+phase", 1 - 50e-6, 0.7, 0.05),
+    ("midsym-phase", 1.0, 1.3, 0.05),
+])
+def test_pfb_clock_sync_ff_locks(name, ratio, phase, noise):
+    """Feed-forward clock recovery (round 5): the parallel two-pass
+    (offset, drift) model fit must recover +-50 ppm drift and an
+    arbitrary initial phase — including a mid-symbol start, where the
+    quadrature (e, g) estimator's full-period capture matters — to the
+    same ~zero tail symbol errors as the feedback tracker."""
+    bits, tx = _shaped_bpsk(nsym=60000)
+    rng = np.random.default_rng(2)
+    rx = np.asarray(dsp.fractional_resample(
+        jnp.asarray(np.real(tx).astype(np.float32)), ratio, t0=phase))
+    rx = rx + (rng.standard_normal(len(rx)) * noise).astype(np.float32)
+    xp = jnp.stack([jnp.asarray(rx), jnp.zeros(len(rx), jnp.float32)])
+    ys, (a, r) = dsp.pfb_clock_sync_ff_pairs(xp, sps=2)
+    assert _tail_symbol_accuracy(np.asarray(ys[0]), bits) >= 0.9995, name
+
+
+def test_rx_chain_pairs_ff_to_stream_receiver_end_to_end():
+    """rx_chain_pairs(timing="ff") through the full example4-grade
+    impairments (0.01 carrier offset + 50 ppm drift + noise) recovers the
+    payload through the StreamReceiver, same as the tracking chain."""
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+
+    code = get_code("block_32_64")
+    msg = (b"feed-forward timing: fit the clock line, no feedback. " * 48)
+    data = np.frombuffer(msg, np.uint8).reshape(-1, code.K // 8)
+    tx_syms = np.asarray(encode_to_symbols(jnp.asarray(data), code)
+                         ).reshape(-1)
+    taps = dsp.rrc_taps(2, 0.35, 45)
+    shaped = np.asarray(dsp.pulse_shape(jnp.asarray(tx_syms), 2, taps))
+    rng = np.random.default_rng(9)
+    rs = dsp.fractional_resample(jnp.asarray(shaped), 1 + 50e-6)
+    rp = jnp.stack([rs, jnp.zeros_like(rs)])
+    rp = dsp.mix_pairs(rp, -0.01)
+    noise = rng.standard_normal((2, rp.shape[1])).astype(np.float32) * 0.05
+    rp = 2.5 * (rp + jnp.asarray(noise))
+
+    sp = dsp.rx_chain_pairs(rp, sps=2, timing="ff")
+    recv = StreamReceiver(code=code, iterations=8)
+    out = recv.receive(sp[0])
+    assert out.acquisition is not None, "receiver never locked (ff timing)"
+    # the ff path truncates the stream to whole chunks, so assert on a
+    # mid-stream payload span rather than the tail
+    third = len(msg) // 3
+    assert msg[third:2 * third] in out.data
