@@ -517,26 +517,27 @@ class StreamReceiver:
             data=payload, acquisition=acq, n_frames=int(n_valid),
             accepted=accepted, weights=w, timings=timings)
 
-    def _receive_chunked(self, dev: jax.Array, T: int, F_pad: int,
-                         n_off: int, on_tpu: bool,
-                         profile: bool) -> ReceiveResult:
-        """Chunked device-resident pipeline (see _receive_fused's branch).
+    def _chunked_dispatch(self, dev: jax.Array, T: int, F_pad: int,
+                          n_off: int, on_tpu: bool,
+                          profile: bool = False) -> dict:
+        """Issue the chunked pipeline's device work and async copies.
 
         Dispatch order: one acquisition program whose (ok, off, pol)
         outputs stay on device, then C chunk-decode programs consuming
         them as a device-side dependency, then copy_to_host_async on
         every chunk result — so the tunnel wire starts moving payload
         the moment chunk 0 finishes decoding while chunks 1..C-1 still
-        compute. The host blocks only once, collecting results in order.
+        compute (and, in segmented use, while LATER segments' chain +
+        decode programs run). No host blocking happens here.
         """
         import time
 
-        code, N = self.code, self.code.N
+        code = self.code
         verify = 4
         C = 8
         Fc = F_pad // C
-        T_padded = F_pad * N
-        pad = max(N, ((n_off - 1 + N - 1) // N) * N)
+        T_padded = F_pad * code.N
+        pad = max(code.N, ((n_off - 1 + code.N - 1) // code.N) * code.N)
         ext_len = T_padded + pad
         t0 = time.perf_counter()
         acq_run, need = _acquire_select_program(
@@ -570,24 +571,49 @@ class StreamReceiver:
             # methodology as the unfused path's scalar sync.
             jax.device_get(_sync_sum(*[b for _, b in outs]))
             timings["decode_s"] = time.perf_counter() - t0
-            t0 = time.perf_counter()
-        # overlap the device-to-host copies: unprofiled, each chunk's
-        # copy starts the moment its decode finishes (wire overlaps the
-        # remaining decode); profiled, all copies start post-sync and
-        # overlap each other, so fetch_s is bytes/wire-rate plus ~1 RTT.
-        # Collection is ONE batched device_get over every array: the
-        # round-4 driver capture proved a per-array np.asarray loop can
-        # pay a serial tunnel round trip per chunk (16 arrays x ~7 ms ate
-        # 111 ms — the profiled SERIALIZED pass beat the pipelined
-        # headline), while a single call batches the transfers.
+        # each chunk's copy starts the moment its decode finishes (wire
+        # overlaps the remaining decode); profiled, all copies start
+        # post-sync and overlap each other
         for p, b in outs:
             p.copy_to_host_async()
             b.copy_to_host_async()
-        (ok_np, off_np, pol_np, w0_np), packed_list, bms = jax.device_get(
+        return {"T": T, "outs": outs, "scalars": (ok, off, pol, w0),
+                "timings": timings, "profile": profile,
+                "t_fetch0": time.perf_counter()}
+
+    def _chunked_collect(self, st: dict) -> ReceiveResult:
+        """Block once (ONE batched device_get over every array — the
+        round-4 driver capture proved a per-array np.asarray loop can pay
+        a serial tunnel round trip per chunk: 16 arrays x ~7 ms ate
+        111 ms, making the profiled SERIALIZED pass beat the pipelined
+        headline) and assemble the payload."""
+        outs = st["outs"]
+        ok, off, pol, w0 = st["scalars"]
+        scalars_np, packed_list, bms = jax.device_get(
             ((ok, off, pol, w0), [p for p, _ in outs], [b for _, b in outs]))
+        return self._chunked_assemble(st, scalars_np, packed_list, bms)
+
+    def receive_collect_many(self, states: list) -> list:
+        """Collect SEVERAL dispatched segments with ONE device_get: a
+        per-segment collect pays one tunnel round trip each, which at 4+
+        segments is most of a composed pipeline's non-wire wall."""
+        payload = [(st["scalars"], [p for p, _ in st["outs"]],
+                    [b for _, b in st["outs"]]) for st in states]
+        fetched = jax.device_get(payload)
+        return [self._chunked_assemble(st, sc, ps, bs)
+                for st, (sc, ps, bs) in zip(states, fetched)]
+
+    def _chunked_assemble(self, st: dict, scalars_np, packed_list,
+                          bms) -> ReceiveResult:
+        import time
+
+        N = self.code.N
+        T, timings = st["T"], st["timings"]
+        ok_np, off_np, pol_np, w0_np = scalars_np
+        t0 = st["t_fetch0"]
         bm_np = np.concatenate(bms)
         t_fetch = time.perf_counter() - t0
-        if profile:
+        if st["profile"]:
             nbytes = sum(p.nbytes for p in packed_list) + bm_np.nbytes
             timings.update(fetch_s=t_fetch, fetch_bytes=int(nbytes),
                            wire_mb_s=nbytes / max(t_fetch, 1e-9) / 1e6)
@@ -629,6 +655,55 @@ class StreamReceiver:
             data=payload, acquisition=acq, n_frames=int(n_valid),
             accepted=accepted, weights=np.zeros(0, np.int32),
             timings=timings)
+
+    def _receive_chunked(self, dev: jax.Array, T: int, F_pad: int,
+                         n_off: int, on_tpu: bool,
+                         profile: bool) -> ReceiveResult:
+        """Chunked device-resident pipeline (see _receive_fused's branch):
+        dispatch everything, then block once."""
+        return self._chunked_collect(
+            self._chunked_dispatch(dev, T, F_pad, n_off, on_tpu, profile))
+
+    def receive_dispatch(self, symbols: jax.Array) -> dict:
+        """Non-blocking half of ``receive`` for SEGMENTED pipelines.
+
+        Issues the whole chunked receive (acquisition + C chunk decodes +
+        async payload copies) for a device-resident symbol segment and
+        returns an opaque state for ``receive_collect`` — no host sync.
+        Interleaving ``chain -> receive_dispatch`` over consecutive
+        stream segments and collecting at the end overlaps each
+        segment's payload wire transfer under the NEXT segments' chain +
+        decode compute, which is what makes the composed
+        chain->receive path wire-overlapped end to end (round-4 VERDICT
+        item 2: the unsegmented composition serialized chain, decode,
+        and wire). Requires the chunked path's conditions: 1-shard mesh,
+        byte-packable code, and a stream of >= 4096 frame periods.
+        """
+        code, N = self.code, self.code.N
+        if self._S != 1 or code.K % 8 != 0:
+            raise ValueError("receive_dispatch needs a 1-shard mesh and a "
+                             "byte-packable code (K % 8 == 0)")
+        dev = symbols
+        if jnp.iscomplexobj(dev):
+            dev = jnp.real(dev)
+        dev = dev.astype(jnp.float32)
+        T = int(dev.shape[0])
+        F_real = (T + N - 1) // N
+        g = 1 << max(F_real.bit_length() - 5, 0)
+        F_pad = ((F_real + g - 1) // g) * g
+        L = 1 + 4
+        n_off = min(self.acquire_window, T - L * N + 1)
+        if not (F_pad >= 4096 and F_pad % 8 == 0 and n_off > 0):
+            raise ValueError(
+                f"segment too short for the chunked pipeline "
+                f"({F_real} frame periods; need >= 4096)")
+        on_tpu = all(d.platform == "tpu" for d in self.mesh.devices.flat)
+        return self._chunked_dispatch(dev, T, F_pad, n_off, on_tpu)
+
+    def receive_collect(self, state: dict) -> ReceiveResult:
+        """Blocking half of ``receive_dispatch``: one batched fetch +
+        payload assembly for that segment."""
+        return self._chunked_collect(state)
 
     def _receive_fused(self, dev: jax.Array, T: int,
                        profile: bool) -> ReceiveResult:

@@ -331,3 +331,41 @@ def test_receive_chunked_no_lock_on_garbage(code):
                         threshold=0, mesh=mesh1)
     res = rx.receive(garbage, fetch_weights=False)
     assert res.acquisition is None and res.data == b""
+
+
+def test_receive_dispatch_collect_segments_match_plain_receive():
+    """The segmented dispatch/collect API must produce byte-identical
+    payloads to per-segment blocking receive() calls (it IS the same
+    device program set — only the host sync moves), and pipelining two
+    segments' dispatches before any collect must not corrupt either."""
+    import jax.numpy as jnp
+
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import awgn, encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+    from gr_ldpc_ece535a_tpu.parallel.mesh import make_mesh
+
+    code = get_code("block_32_64")
+    n_frames = 4608                       # >= 4096 frame periods per segment
+    key = jax.random.PRNGKey(4)
+    kd, k1, k2 = jax.random.split(key, 3)
+    data = jax.random.randint(kd, (2 * n_frames, code.K // 8), 0, 256,
+                              jnp.int32).astype(jnp.uint8)
+    tx = encode_to_symbols(data, code).reshape(2, -1)
+    segs = [jnp.concatenate([jnp.zeros(9, jnp.float32),
+                             -awgn(k, t, ebn0_db=7.0)])
+            for k, t in ((k1, tx[0]), (k2, tx[1]))]
+    mesh1 = make_mesh(("stream",), devices=jax.devices()[:1])
+    recv = StreamReceiver(code=code, mesh=mesh1, iterations=5)
+    plain = [recv.receive(s, fetch_weights=False) for s in segs]
+    states = [recv.receive_dispatch(s) for s in segs]   # both before any
+    seg_out = recv.receive_collect_many(states)         # one batched get
+    # the single-segment collect path must agree too
+    st2 = recv.receive_dispatch(segs[0])
+    assert recv.receive_collect(st2).data == seg_out[0].data
+    for p, s in zip(plain, seg_out):
+        assert s.acquisition is not None
+        assert s.acquisition.offset == p.acquisition.offset == 9
+        assert s.acquisition.inverted == p.acquisition.inverted is True
+        assert s.data == p.data
+        assert s.n_frames == p.n_frames

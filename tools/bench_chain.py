@@ -94,7 +94,14 @@ def main() -> None:
         np.asarray(chain(rx_half)[:, :4])
         t_full, t_half = best_time(chain, rx), best_time(chain, rx_half)
         n_samp = int(rx.shape[1] - rx_half.shape[1])
-        rates[tbs] = n_samp / max(t_full - t_half, 1e-9)
+        # guard degenerate slopes: tunnel jitter can make the two walls
+        # cross, which turns the quotient into garbage (a 5e14 "rate" was
+        # recorded once and silently won the sweep); clamp the denominator
+        # to a physically meaningful floor (10% of the full wall)
+        den = t_full - t_half
+        if den < 0.1 * t_full:
+            den = max(den, 0.1 * t_full)
+        rates[tbs] = n_samp / den
     tbs_best = max(rates, key=rates.get)
     chain = chains[tbs_best]
     samples_per_s = rates[tbs_best]
@@ -110,12 +117,54 @@ def main() -> None:
     wall = time.perf_counter() - t0
     payload = np.asarray(data).tobytes()
     ok = out.data and out.data[len(out.data) // 2:] in payload
+
+    # SEGMENTED composition (round-5 VERDICT item 2): the same chain and
+    # receiver programs over a longer stream split into segments, with
+    # every segment's receive DISPATCHED (async payload copies issued)
+    # before any collect — each segment's wire transfer overlaps the next
+    # segments' chain + decode compute, so the composed wall approaches
+    # chain-compute + one RTT + one segment's wire instead of
+    # chain + decode + full wire in series.
+    n_seg = 4
+    seg_frames = 1 << 16   # 65536 frames (8.4 Msamples) per segment: big
+    # enough that the per-call RTT and acquisition costs amortize (the
+    # continuous-pipeline regime this measures). Segments are generated
+    # independently (one 33.5-Msample impairment injection OOMs the
+    # generation-side gather); each is a self-contained stream with its
+    # own lock, exactly what the segmented receiver handles.
+    seg_data = []
+    segs = []
+    for s in range(n_seg):
+        rx_s, data_s = _impaired_stream_pairs(
+            code, seg_frames, jax.random.PRNGKey(100 + s), sps=sps)
+        segs.append(rx_s)
+        seg_data.append(np.asarray(data_s).tobytes())
+    jax.block_until_ready(segs)
+
+    def run_segmented():
+        states = [recv.receive_dispatch(chain(xp)[0]) for xp in segs]
+        return recv.receive_collect_many(states)
+
+    run_segmented()                          # warm (chain shape differs)
+    t0 = time.perf_counter()
+    outs = run_segmented()
+    wall_seg = time.perf_counter() - t0
+    bits_seg = sum(len(o.data) for o in outs) * 8
+    seg_ok = all(o.acquisition is not None for o in outs) and all(
+        o.data[len(o.data) // 2:] in pl
+        for o, pl in zip(outs, seg_data) if o.data)
+
     line = json.dumps({
         "metric": "rx_chain_samples_per_s",
         "value": samples_per_s,
         "unit": "samples/s",
         "symbols_per_s": samples_per_s / sps,
         "chain_plus_receive_info_bits_per_s": len(out.data) * 8 / wall,
+        "chain_plus_receive_segmented_info_bits_per_s": bits_seg / wall_seg,
+        "segmented": {"segments": n_seg, "frames_per_segment": seg_frames,
+                      "total_frames": n_seg * seg_frames,
+                      "wall_s": wall_seg, "locked_all": bool(seg_ok),
+                      "frames_recovered": sum(o.n_frames for o in outs)},
         "frames": n_frames,
         "locked": bool(out.acquisition is not None),
         "payload_tail_recovered": bool(ok),
@@ -128,7 +177,7 @@ def main() -> None:
     })
     print(line)
     if "--save" in sys.argv[1:]:
-        out_path = Path(__file__).resolve().parents[1] / "results" / "chain_r4.json"
+        out_path = Path(__file__).resolve().parents[1] / "results" / "chain_r5.json"
         out_path.write_text(line + "\n")
         print(f"saved -> {out_path}", file=sys.stderr)
 
