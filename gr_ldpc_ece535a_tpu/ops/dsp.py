@@ -500,15 +500,20 @@ def _pfb_core(xr: jax.Array, xi: jax.Array, sps: int, nfilts: int,
         delta = 1.0 / nfilts                 # input samples per phase step
         g1 = (e1p - e1m) / (2.0 * delta)
         g2 = (e2p - e2m) / (2.0 * delta)
-        # tau in input samples; guard degenerate slopes (no signal) by
-        # flooring |g| while PRESERVING its sign (a +1e-3 floor on a
-        # small negative slope would flip tau and drive a clamped
-        # wrong-direction correction on no-signal blocks), then clamp
-        # to the half-symbol capture range
-        g1f = jnp.where(g1 < 0, -1.0, 1.0) * jnp.maximum(jnp.abs(g1), 1e-3)
-        g2f = jnp.where(g2 < 0, -1.0, 1.0) * jnp.maximum(jnp.abs(g2), 1e-3)
-        tau1 = jnp.clip(e1 / g1f, -0.5 * sps, 0.5 * sps)
-        tau2 = jnp.clip(e2 / g2f, -0.5 * sps, 0.5 * sps)
+        # tau in input samples, via the QUADRATURE form (round 5): the
+        # discriminant is sinusoidal in the timing offset — e ~ E
+        # sin(2 pi tau/sps), g ~ E (2 pi/sps) cos(...) — so
+        # atan2(e, g*sps/2pi) recovers the signed distance to the STABLE
+        # zero over the FULL symbol. Near lock it reduces exactly to the
+        # classic e/g linearization; at the S-curve peak (g through 0,
+        # where both a raw quotient and any sign-of-g floor point the
+        # wrong way for half the starting phases — a mid-symbol
+        # acquisition failure observed on long streams) it returns
+        # +-sps/4 toward the stable zero; with no signal (e, g -> 0) it
+        # returns a NEUTRAL 0 instead of a clamped kick.
+        qs = sps / (2.0 * np.pi)
+        tau1 = qs * jnp.arctan2(e1, g1 * qs)
+        tau2 = qs * jnp.arctan2(e2, g2 * qs)
         h = B // 2
         # gain schedule: tau noise scales ~1/sqrt(half-block), so large
         # blocks take a near-deadbeat step (lock in ~2 blocks — all a

@@ -126,12 +126,12 @@ def main() -> None:
     # chain-compute + one RTT + one segment's wire instead of
     # chain + decode + full wire in series.
     n_seg = 4
-    seg_frames = 1 << 16   # 65536 frames (8.4 Msamples) per segment: big
-    # enough that the per-call RTT and acquisition costs amortize (the
-    # continuous-pipeline regime this measures). Segments are generated
-    # independently (one 33.5-Msample impairment injection OOMs the
-    # generation-side gather); each is a self-contained stream with its
-    # own lock, exactly what the segmented receiver handles.
+    seg_frames = 1 << 17   # 131072 frames (16.8 Msamples) per segment:
+    # big enough that the per-call RTT, dispatch, and acquisition costs
+    # amortize (the continuous-pipeline regime this measures). Segments
+    # are generated independently (one huge impairment injection OOMs
+    # the generation-side gather); each is a self-contained stream with
+    # its own lock, exactly what the segmented receiver handles.
     seg_data = []
     segs = []
     for s in range(n_seg):
@@ -140,10 +140,16 @@ def main() -> None:
         segs.append(rx_s)
         seg_data.append(np.asarray(data_s).tobytes())
     jax.block_until_ready(segs)
+    # composed chain: the 4096-symbol tracking block (the measured
+    # optimum — never the sweep's pick, which can glitch) and the
+    # reference's default 5 decode iterations (the examples' setting)
+    chain_c = jax.jit(lambda x: dsp.rx_chain_pairs(
+        x, sps=sps, timing_block_syms=4096))
+    recv_c = StreamReceiver(code=code, iterations=5)
 
     def run_segmented():
-        states = [recv.receive_dispatch(chain(xp)[0]) for xp in segs]
-        return recv.receive_collect_many(states)
+        states = [recv_c.receive_dispatch(chain_c(xp)[0]) for xp in segs]
+        return recv_c.receive_collect_many(states)
 
     run_segmented()                          # warm (chain shape differs)
     t0 = time.perf_counter()
