@@ -1123,7 +1123,8 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
                    nfilts: int = 32, agc_block: int = 256,
                    carrier_block: int = 64, max_freq: float = 0.2,
                    timing_block_syms: int = 64,
-                   timing: str = "track") -> jax.Array:
+                   timing: str = "track",
+                   timing_rate_clip: float = 0.002) -> jax.Array:
     """Device-resident receive chain in pair form: (2, T) samples ->
     (2, nsym) 1-sample/symbol soft BPSK symbols. The TPU path of
     ``rx_chain`` (which needs a complex-capable backend); feed plane 0
@@ -1131,12 +1132,17 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
 
     timing="track" (default): the feedback clock tracker
     (``pfb_clock_sync_pairs``) — adapts to a time-varying clock, and
-    ``timing_block_syms`` sets its sequential-scan block (the scan's
-    per-step latency, not compute, bounds chain throughput on a TPU;
-    64..4096-symbol blocks all lock under +-50 ppm drift + 0.01 carrier
-    offset, pinned by tests; 4096 is the supported ceiling — at 8192 the
-    pre-convergence drift across one block exceeds the discriminant's
-    capture range).
+    ``timing_block_syms`` sets its sequential-scan block. 64 through
+    8192-symbol blocks lock under +-50 ppm drift + 0.01 carrier offset
+    (pinned by tests; the round-5 quadrature discriminant extended the
+    per-block capture to the full symbol, which is what 8192 needs —
+    16384 still loses lock). ``timing_rate_clip`` bounds the tracked
+    drift in samples/sample; the 0.002 default covers +-500 ppm at
+    sps=2, and tightening it to the actual clock spec shrinks the
+    tracker's per-symbol shift window proportionally (measured on one
+    v5e at 16.8 Msamples: block 8192 at rate_clip 2.5e-4 = 229 Ms/s vs
+    the 4096/0.002 default's 169-223 — the window span, not the scan
+    step count, is the remaining cost driver).
 
     timing="ff": the round-5 FEED-FORWARD recovery
     (``pfb_clock_sync_ff_pairs``) — fits the linear clock model
@@ -1157,5 +1163,6 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
     else:
         yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
                                           excess_bw=excess_bw,
-                                          block_syms=timing_block_syms)
+                                          block_syms=timing_block_syms,
+                                          rate_clip=timing_rate_clip)
     return vv_carrier_recovery_pairs(yp, block=carrier_block)

@@ -364,14 +364,16 @@ def test_rx_chain_pairs_to_stream_receiver_end_to_end():
 
 
 @pytest.mark.parametrize("ratio", [1 + 50e-6, 1 - 50e-6])
-@pytest.mark.parametrize("block", [256, 2048])
+@pytest.mark.parametrize("block", [256, 2048, 8192])
 def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio, block):
     """Large timing_block_syms (fewer sequential tracking steps — the
     chain's TPU throughput knob) must still lock under +-50 ppm drift plus
     a 0.01 carrier offset. Since round 4 the tracker interpolates the
     sampling phase per symbol inside each block, so block size no longer
-    bounds the tolerable drift — 2048-symbol blocks (32x fewer scan steps
-    than the round-3 default) lock at the same impairments."""
+    bounds the tolerable drift; since round 5 the quadrature discriminant
+    captures the full symbol period, which is what 8192-symbol blocks
+    (the composed-path setting, with the rate clip at the +-62 ppm spec)
+    need to acquire from any starting phase."""
     from gr_ldpc_ece535a_tpu.codes import get_code
     from gr_ldpc_ece535a_tpu.ops import encode_to_symbols
     from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
@@ -389,7 +391,9 @@ def test_rx_chain_pairs_large_timing_block_survives_50ppm(ratio, block):
     rng = np.random.default_rng(11)
     rp = rp + jnp.asarray(rng.standard_normal((2, rp.shape[1]))
                           .astype(np.float32) * 0.05)
-    sp = dsp.rx_chain_pairs(rp, sps=2, timing_block_syms=block)
+    rc = 2.5e-4 if block >= 8192 else 0.002
+    sp = dsp.rx_chain_pairs(rp, sps=2, timing_block_syms=block,
+                            timing_rate_clip=rc)
     recv = StreamReceiver(code=code, iterations=8)
     out = recv.receive(sp[0])
     assert out.acquisition is not None, "receiver never locked"

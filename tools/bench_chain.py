@@ -84,7 +84,7 @@ def main() -> None:
     # winner (256) for continuity plus the large-block regime
     rates = {}
     chains = {}
-    for tbs in (256, 1024, 2048, 4096):
+    for tbs in (256, 1024, 2048, 4096, 8192):
         chain = jax.jit(lambda x, t=tbs: dsp.rx_chain_pairs(
             x, sps=sps, timing_block_syms=t))
         chains[tbs] = chain
@@ -140,11 +140,12 @@ def main() -> None:
         segs.append(rx_s)
         seg_data.append(np.asarray(data_s).tobytes())
     jax.block_until_ready(segs)
-    # composed chain: the 4096-symbol tracking block (the measured
-    # optimum — never the sweep's pick, which can glitch) and the
-    # reference's default 5 decode iterations (the examples' setting)
+    # composed chain: the 8192-symbol tracking block with the rate clip
+    # tightened to the +-50 ppm impairment spec (measured optimum, round
+    # 5 — never the sweep's pick, which can glitch) and the reference's
+    # default 5 decode iterations (the examples' setting)
     chain_c = jax.jit(lambda x: dsp.rx_chain_pairs(
-        x, sps=sps, timing_block_syms=4096))
+        x, sps=sps, timing_block_syms=8192, timing_rate_clip=2.5e-4))
     recv_c = StreamReceiver(code=code, iterations=5)
 
     def run_segmented():
