@@ -867,13 +867,14 @@ def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
        whole stream at once (six tap columns, (nsym, T12) @ (T12, 6) on
        the MXU). Per ``est_block`` symbols the power-normalized Gardner
        discriminant e = <y.y'>/<|y|^2> and its in-band S-curve slope
-       g = (e+ - e-)*nfilts/2 give a wrapped timing estimate
-       tau_b = -e/g (period sps). The clock model is then fit
+       g = (e+ - e-)*nfilts/2 form an amplitude-normalized QUADRATURE
+       pair whose atan2 recovers the wrapped timing tau_b over the FULL
+       symbol (period sps) — including at the unstable zero, where a
+       plain e/g quotient diverges. The clock model is then fit
        WRAP-ROBUSTLY: drift r from a confidence-weighted mean of
        wrapped block-to-block differences (no cumulative unwrap to
-       poison), offset a from the circular mean of tau_b - r*m_b —
-       blocks near the discriminant's unstable zero self-exclude via
-       g <= 0 confidence weights.
+       poison), offset a from the circular mean of tau_b - r*m_b, with
+       per-block S-curve-amplitude-times-power confidence weights.
     2. A lean ``lax.scan`` over ``chunk_syms``-symbol chunks whose
        (ibase, frac) are PRECOMPUTED arrays (no feedback in the carry)
        filters at the model positions through the same extended
@@ -903,6 +904,16 @@ def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
     bank_np, dbank_np = polyphase_rrc_banks(sps, nfilts, excess_bw, ntaps_per)
     L = bank_np.shape[1]
     n = int(xr.shape[0])
+    # guard BEFORE pass 1: its window reshape would otherwise fail with
+    # an opaque negative-dimension trace error on streams too short for
+    # even one pass-2 chunk (same geometry as computed below)
+    _D0 = int(math.ceil(chunk_syms * rate_clip)) + 2
+    _Tq = (L + 2 * _D0 + 1 + sps - 1) // sps
+    _win = (chunk_syms + _Tq + 1) * sps
+    _mo = int(math.ceil(rate_clip * (n // max(sps, 1)))) + sps + 2
+    if (n - _win - _mo) // (chunk_syms * sps) < 1:
+        raise ValueError(
+            f"stream of {n} samples too short for chunk_syms={chunk_syms}")
 
     # ---- pass 1: six-tap-set windows matmul at the nominal grid --------
     # (an equivalent lax.conv lowered to the VPU and cost ~17 ms at 8.4M
@@ -971,6 +982,10 @@ def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
     w2 = jnp.minimum(conf[1:], conf[:-1])
     d = _wrap(tau[1:] - tau[:-1], float(sps))
     r0 = jnp.sum(w2 * d) / (jnp.sum(w2) + 1e-12) / est_block
+    # the stream padding and bank windows below are sized for
+    # |r| <= rate_clip; a noisy raw estimate (bounded only by the wrap,
+    # ~sps/(2*est_block)) must not outrun them
+    r0 = jnp.clip(r0, -rate_clip, rate_clip)
     m_b = (jnp.arange(nb, dtype=jnp.float32) + 0.5) * est_block
     ang = 2 * jnp.pi * (tau - r0 * m_b) / sps
     a0 = (sps / (2 * jnp.pi)) * jnp.arctan2(
@@ -1014,10 +1029,7 @@ def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
                             jnp.zeros(P0 + win_len, jnp.float32)])
     xi_p = jnp.concatenate([jnp.zeros(P0, jnp.float32), xi,
                             jnp.zeros(P0 + win_len, jnp.float32)])
-    nc = max((n - win_len - max_ofs) // (B * sps), 0)
-    if nc == 0:
-        raise ValueError(
-            f"stream of {n} samples too short for chunk_syms={B}")
+    nc = (n - win_len - max_ofs) // (B * sps)   # >= 1: guarded above
     ks_i = jnp.arange(B, dtype=jnp.int32)
     ks_f = ks_i.astype(jnp.float32)
 
@@ -1114,7 +1126,10 @@ def pfb_clock_sync_ff_pairs(xp: jax.Array, sps: int, nfilts: int = 32,
     my = jnp.sum(w_c * dtau) / sw
     varx = jnp.sum(w_c * (m_c - mx) ** 2) / sw + 1e-12
     dr = jnp.sum(w_c * (m_c - mx) * (dtau - my)) / sw / varx
-    a_hat = a0 - (my - dr * mx)
+    # bound the refined model to the envelope the padding was sized for
+    # (a lives on the symbol circle; the fit can only shift it by the
+    # residual, but clamp defensively against a garbage fit)
+    a_hat = jnp.clip(a0 - (my - dr * mx), -float(sps), float(sps))
     r_hat = jnp.clip(r0 - dr, -rate_clip, rate_clip)
     return emit_pass(a_hat, r_hat), (a_hat, r_hat)
 
@@ -1154,12 +1169,15 @@ def rx_chain_pairs(xp: jax.Array, sps: int = 2, excess_bw: float = 0.35,
     alternative for the one-stable-clock regime and is pinned by the
     same lock tests.
     """
+    if timing not in ("track", "ff"):
+        raise ValueError(f"unknown timing {timing!r}; use 'track' or 'ff'")
     xp = block_agc_pairs(xp, block=agc_block)
     f = coarse_cfo_estimate_pairs(xp, max_freq=max_freq)
     xp = mix_pairs(xp, f)
     if timing == "ff":
         yp, _model = pfb_clock_sync_ff_pairs(xp, sps=sps, nfilts=nfilts,
-                                             excess_bw=excess_bw)
+                                             excess_bw=excess_bw,
+                                             rate_clip=timing_rate_clip)
     else:
         yp, _state = pfb_clock_sync_pairs(xp, sps=sps, nfilts=nfilts,
                                           excess_bw=excess_bw,

@@ -88,6 +88,24 @@ def _accept_bitmask(code, threshold):
     return run
 
 
+# verification window of the device-side acquisition programs (matches
+# acquire()'s default verify_frames; used by the fused, chunked, and
+# segmented paths so their cached programs share geometry)
+_VERIFY_FRAMES = 4
+
+
+def _bucket_frames(F_real: int) -> int:
+    """Pad a frame count to a 5-significant-bit bucket so the lru-cached
+    whole-stream programs compile once per bucket instead of once per
+    distinct stream length (worst-case zero-tail decode waste 6.25%,
+    rejected by syndrome and host-truncated; <= 32 cached shapes per
+    octave)."""
+    if F_real <= 32:
+        return F_real
+    g = 1 << (F_real.bit_length() - 5)
+    return ((F_real + g - 1) // g) * g
+
+
 def _body_backend(kernel_mode: str, method, on_tpu: bool) -> str:
     """Decoder backend for the stream BODY decode: the fast bf16 pallas
     kernels when requested and applicable (the per-frame syndrome accept
@@ -533,7 +551,7 @@ class StreamReceiver:
         import time
 
         code = self.code
-        verify = 4
+        verify = _VERIFY_FRAMES
         C = 8
         Fc = F_pad // C
         T_padded = F_pad * code.N
@@ -688,15 +706,13 @@ class StreamReceiver:
             dev = jnp.real(dev)
         dev = dev.astype(jnp.float32)
         T = int(dev.shape[0])
-        F_real = (T + N - 1) // N
-        g = 1 << max(F_real.bit_length() - 5, 0)
-        F_pad = ((F_real + g - 1) // g) * g
-        L = 1 + 4
+        F_pad = _bucket_frames((T + N - 1) // N)
+        L = 1 + _VERIFY_FRAMES
         n_off = min(self.acquire_window, T - L * N + 1)
         if not (F_pad >= 4096 and F_pad % 8 == 0 and n_off > 0):
             raise ValueError(
                 f"segment too short for the chunked pipeline "
-                f"({F_real} frame periods; need >= 4096)")
+                f"({(T + N - 1) // N} frame periods; need >= 4096)")
         on_tpu = all(d.platform == "tpu" for d in self.mesh.devices.flat)
         return self._chunked_dispatch(dev, T, F_pad, n_off, on_tpu)
 
@@ -713,23 +729,13 @@ class StreamReceiver:
         import time
 
         code, N = self.code, self.code.N
-        verify = 4                               # acquire()'s default
+        verify = _VERIFY_FRAMES
         L = 1 + verify
         t0 = time.perf_counter()
-        # bucket the padded frame count so the lru-cached whole-stream
-        # program compiles once per bucket instead of once per distinct
-        # stream length (round-3 advisor finding: exact-T keys mean a
-        # multi-second recompile per length and unbounded cache growth).
-        # 5-significant-bit granularity: worst-case zero-tail decode
-        # waste is g / 2^(b-1) = 6.25% (rejected by syndrome +
-        # host-truncated to n_valid), <= 32 cached shapes per octave of
-        # stream length.
-        F_real = (T + N - 1) // N
-        if F_real > 32:
-            g = 1 << (F_real.bit_length() - 5)
-            F_pad = ((F_real + g - 1) // g) * g
-        else:
-            F_pad = F_real
+        # bucketed padded frame count (round-3 advisor finding: exact-T
+        # cache keys meant a multi-second recompile per distinct stream
+        # length) — see _bucket_frames
+        F_pad = _bucket_frames((T + N - 1) // N)
         T_padded = F_pad * N
         # candidate offsets must keep their whole verify window inside the
         # REAL samples — windows reaching into the zero tail would lock on

@@ -14,7 +14,7 @@ cancels in the difference); the receive step is a single wall-clock pipeline
 measure through the fused single-dispatch receiver.
 
 Writes one JSON line; `python tools/bench_chain.py --save` records it to
-results/chain_r4.json.
+results/chain_r5.json.
 """
 
 from __future__ import annotations
@@ -100,7 +100,7 @@ def main() -> None:
         # to a physically meaningful floor (10% of the full wall)
         den = t_full - t_half
         if den < 0.1 * t_full:
-            den = max(den, 0.1 * t_full)
+            den = 0.1 * t_full
         rates[tbs] = n_samp / den
     tbs_best = max(rates, key=rates.get)
     chain = chains[tbs_best]

@@ -8,7 +8,9 @@ so this sweep races the Gram form (one E-contraction matmul/iter) against
 the split form (two chained N-contraction matmuls/iter) across tile sizes
 for both modes, with the same chained-slope timing as bench.py.
 
-Writes results/extra_r5.json (keeping the encode numbers from extra_r4).
+Writes results/large_sweep_r5.json (the full Gram-vs-split sweep); the
+headline numbers in results/extra_r5.json were recorded from the best
+configurations found here.
 """
 
 from __future__ import annotations
