@@ -106,6 +106,20 @@ def main() -> None:
     chain = chains[tbs_best]
     samples_per_s = rates[tbs_best]
 
+    # the composed-path configuration: block 8192 with the rate clip at
+    # the +-50 ppm impairment spec (the default 0.002 covers +-500 ppm
+    # and pays for it in tap-window span) — recorded separately so the
+    # claimed spec-clip chain rate traces to this artifact
+    chain_sc = jax.jit(lambda x: dsp.rx_chain_pairs(
+        x, sps=sps, timing_block_syms=8192, timing_rate_clip=2.5e-4))
+    np.asarray(chain_sc(rx)[:, :4])
+    np.asarray(chain_sc(rx_half)[:, :4])
+    t_full, t_half = best_time(chain_sc, rx), best_time(chain_sc, rx_half)
+    den = t_full - t_half
+    if den < 0.1 * t_full:
+        den = 0.1 * t_full
+    samples_per_s_spec_clip = (rx.shape[1] - rx_half.shape[1]) / den
+
     # end-to-end: chain + frame sync + fused decode + payload fetch
     syms = chain(rx)[0]                     # real plane feeds frame sync
     recv = StreamReceiver(code=code, iterations=8)
@@ -166,6 +180,7 @@ def main() -> None:
         "value": samples_per_s,
         "unit": "samples/s",
         "symbols_per_s": samples_per_s / sps,
+        "samples_per_s_block8192_spec_rate_clip": samples_per_s_spec_clip,
         "chain_plus_receive_info_bits_per_s": len(out.data) * 8 / wall,
         "chain_plus_receive_segmented_info_bits_per_s": bits_seg / wall_seg,
         "segmented": {"segments": n_seg, "frames_per_segment": seg_frames,
