@@ -5,6 +5,7 @@ from .channel import awgn, channel_model, ebn0_to_n0
 from .decode import (
     METHODS,
     decode_bitflip,
+    decode_bitflip_mp,
     decode_hard,
     decode_minsum,
     decode_sumproduct,
@@ -20,6 +21,7 @@ __all__ = [
     "bpsk_map",
     "channel_model",
     "decode_bitflip",
+    "decode_bitflip_mp",
     "decode_hard",
     "decode_minsum",
     "decode_sumproduct",

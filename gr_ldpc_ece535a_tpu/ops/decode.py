@@ -334,6 +334,59 @@ def decode_bitflip(
     return ci.astype(jnp.int8)
 
 
+def decode_bitflip_mp(
+    rx: jax.Array,
+    code: LdpcCode,
+    iterations: int = 5,
+    early_exit: bool = True,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Message-passing bit-flip: the ldpc_umfpack app's OWN variant
+    (/root/reference/apps/ldpc_umfpack.cpp:384-470).
+
+    The reference ships two DIFFERENT algorithms under the name
+    "decodeBitFlipping": the GR module and ldpc_lapack use the majority
+    flip (``decode_bitflip`` here — which can never flip a bit on a
+    column-weight-3 code, so it degenerates to the hard slicer), while
+    ldpc_umfpack uses this Gallager-A-style decoder with per-edge
+    extrinsic-parity messages rji and bit messages qij — it genuinely
+    corrects errors. Discovered in round 5 when anchoring the (16,8)
+    waterfall to a run of the umfpack binary: its bitflip curve beat the
+    majority rule's, and this replica closes the gap.
+
+    Semantics preserved: ci = int(0.5*(sign(rx)+1)) (rx == 0 -> 0 via
+    truncation), rji = extrinsic row parity, the >=-biased majority votes
+    R + ci >= W - R (+ rji for the edge messages) with the CHANNEL hard
+    decision ci never updated, and NO syndrome early exit — the reference
+    loop always runs all iterations (``early_exit`` is accepted for API
+    uniformity and ignored).
+    """
+    del dtype, early_exit  # integer algorithm; reference has no early exit
+    H = jnp.asarray(code.H.astype(np.int32))       # (M, N)
+    mask = (H != 0)[None]                           # (1, M, N)
+    ci = (0.5 * (jnp.sign(rx) + 1.0)).astype(jnp.int32)   # (B, N)
+    colw = jnp.sum(H, axis=0)                       # (N,)
+    qij0 = ci[:, None, :] * H[None]                 # (B, M, N)
+
+    def body(_n, carry):
+        qij, _v = carry
+        qsum = jnp.sum(qij, axis=2, keepdims=True)  # (B, M, 1); support-only
+        rji = jnp.where(mask, (qsum + qij) % 2, 0)
+        R = jnp.sum(rji, axis=1)                    # (B, N)
+        vhat = (R + ci >= colw[None] - R).astype(jnp.int8)
+        qij_new = jnp.where(
+            mask,
+            (R[:, None, :] + ci[:, None, :]
+             >= colw[None, None, :] - R[:, None, :] + rji
+             ).astype(jnp.int32),
+            0)
+        return qij_new, vhat
+
+    _, vhat = jax.lax.fori_loop(0, iterations, body,
+                                (qij0, ci.astype(jnp.int8)))
+    return vhat
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -427,6 +480,10 @@ def make_decoder(
     elif method == "bitflip":
         fn = functools.partial(
             decode_bitflip, code=code, iterations=iterations,
+            early_exit=early_exit, dtype=dtype)
+    elif method == "bitflip_mp":
+        fn = functools.partial(
+            decode_bitflip_mp, code=code, iterations=iterations,
             early_exit=early_exit, dtype=dtype)
     else:
         raise ValueError(f"unknown method {method!r}")

@@ -190,3 +190,35 @@ def decode_sum_product_soft(rx: np.ndarray, H: np.ndarray, iterations: int) -> n
                         T += E[(k, i)] + r[i]
                 Mmsg[(j, i)] = T
     return vhat
+
+
+def decode_bit_flipping_mp(rx: np.ndarray, H: np.ndarray,
+                           iterations: int) -> np.ndarray:
+    """The ldpc_umfpack app's message-passing bit-flip variant
+    (apps/ldpc_umfpack.cpp:384-470) — a DIFFERENT algorithm from the GR
+    module's / ldpc_lapack's majority flip above; see
+    ops/decode.py::decode_bitflip_mp. Direct loop replica: per-edge
+    extrinsic row parity rji, >=-biased majority votes including the
+    (never-updated) channel hard decision ci, no early exit."""
+    M, N = H.shape
+    rows, cols = _adjacency(H)
+    ci = [int(0.5 * (_sign(float(v)) + 1)) for v in rx]
+    colw = [len(cols[j]) for j in range(N)]
+    qij = {}
+    for i in range(M):
+        for j in rows[i]:
+            qij[(i, j)] = ci[j]
+    vhat = list(ci)
+    for _n in range(iterations):
+        rji = {}
+        for i in range(M):
+            qsum = sum(qij[(i, k)] for k in rows[i])
+            for j in rows[i]:
+                rji[(i, j)] = (qsum + qij[(i, j)]) % 2
+        for j in range(N):
+            R = sum(rji[(i, j)] for i in cols[j])
+            for i in cols[j]:
+                qij[(i, j)] = (1 if R + ci[j] >= colw[j] - R + rji[(i, j)]
+                               else 0)
+            vhat[j] = 1 if R + ci[j] >= colw[j] - R else 0
+    return np.asarray(vhat, dtype=np.int8)
