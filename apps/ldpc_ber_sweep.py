@@ -29,7 +29,9 @@ def main() -> None:
                     help="override: evenly spaced point count start..stop")
     ap.add_argument("--frames-per-point", type=int, default=30_000)
     ap.add_argument("--iterations", type=int, default=5)
-    ap.add_argument("--methods", default="hard,bitflip,minsum,sumproduct")
+    ap.add_argument("--methods", default="hard,bitflip,minsum,sumproduct",
+                    help="comma list; also available: bitflip_mp (the "
+                         "ldpc_umfpack app's message-passing variant)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--octave", action="store_true",
                     help="print the MATLAB/Octave plot script (reference format)")
