@@ -369,3 +369,43 @@ def test_receive_dispatch_collect_segments_match_plain_receive():
         assert s.acquisition.inverted == p.acquisition.inverted is True
         assert s.data == p.data
         assert s.n_frames == p.n_frames
+
+
+def test_receive_dispatch_mixed_sizes_and_short_segment_error():
+    """Segments of different lengths may be interleaved in one
+    dispatch/collect_many round (each gets its own cached program
+    geometry), and a segment below the chunked pipeline's floor raises
+    the documented ValueError instead of mis-decoding."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from gr_ldpc_ece535a_tpu.codes import get_code
+    from gr_ldpc_ece535a_tpu.ops import awgn, encode_to_symbols
+    from gr_ldpc_ece535a_tpu.parallel import StreamReceiver
+    from gr_ldpc_ece535a_tpu.parallel.mesh import make_mesh
+
+    code = get_code("block_32_64")
+    key = jax.random.PRNGKey(6)
+    kd, k1, k2 = jax.random.split(key, 3)
+    sizes = (4608, 6144)
+    data = jax.random.randint(kd, (sum(sizes), code.K // 8), 0, 256,
+                              jnp.int32).astype(jnp.uint8)
+    tx = encode_to_symbols(data, code).reshape(-1)
+    cut = sizes[0] * code.N
+    segs = [jnp.concatenate([jnp.zeros(5, jnp.float32),
+                             awgn(k1, tx[:cut], ebn0_db=7.0)]),
+            jnp.concatenate([jnp.zeros(11, jnp.float32),
+                             awgn(k2, tx[cut:], ebn0_db=7.0)])]
+    mesh1 = make_mesh(("stream",), devices=jax.devices()[:1])
+    recv = StreamReceiver(code=code, mesh=mesh1, iterations=5)
+    outs = recv.receive_collect_many(
+        [recv.receive_dispatch(s) for s in segs])
+    raw = np.asarray(data).tobytes()
+    assert outs[0].acquisition.offset == 5
+    assert outs[1].acquisition.offset == 11
+    got = outs[0].data + outs[1].data
+    # each segment's final frame loses tail symbols to its zero offset
+    # prefix; everything else must reassemble to the transmitted bytes
+    assert raw[: len(outs[0].data) - 8] in got
+    with _pytest.raises(ValueError, match="segment too short"):
+        recv.receive_dispatch(jnp.zeros(100 * code.N, jnp.float32))
